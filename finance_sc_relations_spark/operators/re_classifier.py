@@ -1,0 +1,174 @@
+"""Stage 5: batched relation classification + aggregation.
+
+Reference flow (src/relation_extraction/infer.py:135-223, 338-366):
+  R2  re_dataset: mutate orgs -> tokenize -> e1/e2 positions
+  R5  batched no_grad forward + softmax
+  R6  direction-reverse ensemble: score tag-swapped copy, swap
+      supplier/customer score columns, average (infer.py:150-167)
+  R7  multi-position aggregation: mean of score vectors per r_id
+      (infer.py:338-344)
+  R8  argmax -> label (infer.py:346-351)
+
+Spark realization:
+- One mapInPandas pass computes BOTH directions per row (fwd + reversed) and
+  averages in-batch — this halves the number of model passes over the data
+  versus the reference's two sequential estimate_ calls, and keeps the
+  reverse ensemble embarrassingly parallel (no shuffle).
+- Position-mean (R7) is a single groupBy('r_id') over three float columns —
+  map-side partial aggregation, one shuffle, whole-stage codegen. Score
+  vectors are fixed length 3, so we unpack to columns instead of shuffling
+  arrays.
+- Argmax + label map (R8) is a greatest/when expression chain — no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.relations import LABELS
+from ..functions.tagging import inverse_relations, mutate_sent
+from .models import get_re_model
+
+_SCORED_POSITIONS = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("sentence_id", StringType(), False),
+        StructField("r_id", StringType(), False),
+        StructField("entity1", StringType(), False),
+        StructField("entity2", StringType(), False),
+        StructField("scores", ArrayType(FloatType()), False),
+    ]
+)
+
+SUP, CUS, OTH = 0, 1, 2  # LABELS order
+
+
+def score_pairs(
+    pairs: DataFrame,
+    mutate: bool = True,
+    reverse: bool = True,
+    model_partitions: int | None = None,
+) -> DataFrame:
+    """PAIRS rows -> per-position score rows (one row per tagged position).
+
+    mutate: replace org surface forms with deterministic 'org-<numword>'
+    placeholders before scoring (re_dataset analog,
+    src/relation_extraction/preprocessing_funcs.py:297-359; determinism note
+    in functions.tagging.mutate_sent).
+    reverse: direction-reverse ensemble per infer.py:150-167.
+    model_partitions: repartition before the model stage to balance batch
+    sizes across executors (reference analog: instance-fleet sizing,
+    src/glue/glue_etl.py:548-593).
+    """
+    df = pairs
+    if model_partitions:
+        df = df.repartition(model_partitions)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = get_re_model()
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            sents = batch["sents"].tolist()
+            if mutate:
+                sents = [
+                    mutate_sent(s, dict(g), seed_key=r)
+                    for s, g, r in zip(sents, batch["org_groups"], batch["r_id"])
+                ]
+            fwd = model.score_batch(sents)
+            if reverse:
+                rev_sents = [inverse_relations(s) for s in sents]
+                rev = model.score_batch(rev_sents)
+                # swap supplier<->customer columns of the reversed pass
+                # (infer.py:163-166), then average
+                rev_swapped = rev.copy()
+                rev_swapped[:, [SUP, CUS]] = rev[:, [CUS, SUP]]
+                scores = (fwd + rev_swapped) / 2.0
+            else:
+                scores = fwd
+            yield pd.DataFrame(
+                {
+                    "url": batch["url"],
+                    "sentence_id": batch["sentence_id"],
+                    "r_id": batch["r_id"],
+                    "entity1": batch["entity1"],
+                    "entity2": batch["entity2"],
+                    "scores": [np.asarray(s, dtype=np.float32) for s in scores],
+                }
+            )
+
+    return df.mapInPandas(_map, schema=_SCORED_POSITIONS)
+
+
+def aggregate_positions(scored_positions: DataFrame) -> DataFrame:
+    """R7+R8: mean score vector per r_id, then argmax label.
+
+    Mean-of-vectors per r_id (infer.py:338-344) done as three scalar AVGs
+    (map-side combine, single shuffle); argmax via greatest/when chain
+    (infer.py:346-351).
+    """
+    df = scored_positions.select(
+        "url",
+        "sentence_id",
+        "r_id",
+        "entity1",
+        "entity2",
+        F.col("scores")[SUP].alias("s_sup"),
+        F.col("scores")[CUS].alias("s_cus"),
+        F.col("scores")[OTH].alias("s_oth"),
+    )
+    agg = df.groupBy("r_id").agg(
+        F.first("url").alias("url"),
+        F.first("sentence_id").alias("sentence_id"),
+        F.first("entity1").alias("entity1"),
+        F.first("entity2").alias("entity2"),
+        F.avg("s_sup").alias("s_sup"),
+        F.avg("s_cus").alias("s_cus"),
+        F.avg("s_oth").alias("s_oth"),
+    )
+    best = F.greatest("s_sup", "s_cus", "s_oth")
+    relation = (
+        F.when(F.col("s_sup") == best, F.lit(LABELS[SUP]))
+        .when(F.col("s_cus") == best, F.lit(LABELS[CUS]))
+        .otherwise(F.lit(LABELS[OTH]))
+    )
+    return agg.select(
+        "url",
+        "sentence_id",
+        "r_id",
+        "entity1",
+        "entity2",
+        F.array(
+            F.col("s_sup").cast("float"),
+            F.col("s_cus").cast("float"),
+            F.col("s_oth").cast("float"),
+        ).alias("scores"),
+        relation.alias("relation"),
+        best.cast("float").alias("score"),
+    )
+
+
+def classify_pairs(
+    pairs: DataFrame,
+    mutate: bool = True,
+    reverse: bool = True,
+    model_partitions: int | None = None,
+) -> DataFrame:
+    """Full R2-R8 chain: score positions, position-mean, argmax."""
+    return aggregate_positions(
+        score_pairs(pairs, mutate=mutate, reverse=reverse,
+                    model_partitions=model_partitions)
+    )
