@@ -34,10 +34,13 @@ def rm_special_char(text: str) -> str:
 def clean_text_col(col: Column | str) -> Column:
     """JVM-side equivalent of ``rm_special_char`` (src/utils/data_clean.py:5-6).
 
-    Python ``str.strip()`` strips all (unicode) whitespace, not just spaces,
-    so we strip with a (?U)-flagged regex rather than ``trim`` to stay
-    byte-identical when the raw text leads/trails with tabs or newlines.
+    Python ``str.strip()`` strips all unicode whitespace — including the
+    \\x1c-\\x1f separators that Java's (?U)\\s does not cover — so the strip
+    regex is (?U)\\s plus that range, not ``trim``.
     """
     c = F.col(col) if isinstance(col, str) else col
     collapsed = F.regexp_replace(c, CLEAN_PATTERN, " ")
-    return F.regexp_replace(collapsed, "(?U)^\\s+|(?U)\\s+$", "")
+    strip_class = "[\\s\\x1c-\\x1f]"
+    return F.regexp_replace(
+        collapsed, f"(?U)^{strip_class}+|(?U){strip_class}+$", ""
+    )

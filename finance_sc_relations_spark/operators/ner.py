@@ -154,7 +154,9 @@ def detect_spans(sentence: str, gaz: _Gazetteer) -> List[dict]:
     out = []
     for s, e, t in spans:
         token_start = next((i for i, (ts, te) in enumerate(toks) if te > s), 0)
-        token_end = next((i + 1 for i, (ts, te) in enumerate(toks) if ts < e), 0)
+        token_end = max(
+            (i + 1 for i, (ts, te) in enumerate(toks) if ts < e), default=0
+        )
         out.append(
             dict(text=t, label="ORG", start=s, end=e,
                  token_start=token_start, token_end=token_end)

@@ -1,0 +1,225 @@
+"""Ports of the reference's LLM-alignment and conflict-finder test families
+(test/test_re_dataset_creation.py:19-155, test/test_conflict_finder.py:29-71),
+adapted to the deterministic HashEmbedder matcher.
+"""
+
+import pytest
+
+from finance_sc_relations_spark.functions.similarity import HashEmbedder
+from finance_sc_relations_spark.operators.llm_verify import (
+    RuleLLMAnnotator,
+    extract_relations_from_llm,
+    mask_terms,
+    demask_terms,
+    relation_search,
+)
+
+
+@pytest.fixture(scope="module")
+def matcher():
+    return HashEmbedder()
+
+
+@pytest.fixture
+def datapoint():
+    # test/test_re_dataset_creation.py:19-28
+    return {
+        "filer": "ADVANCED MICRO DEVICES INC corp",
+        "sentence": (
+            "In addition, five customers, including Sony and Microsoft, "
+            "accounted for approximately 95% of the net revenue attributable "
+            "to ADVANCED MICRO DEVICES Inc Enterprise, Embedded and Semi "
+            "Custom segment"
+        ),
+        "relations": [
+            ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony"],
+            ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"],
+        ],
+        "org_groups": {"ADVANCED MICRO DEVICES Inc": 0, "Microsoft": 1, "Sony": 2},
+    }
+
+
+def test_only_filer(datapoint, matcher):
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=True, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == []
+
+
+def test_onlyfiler_false_max_other1(datapoint, matcher):
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_changing_names_slightly(datapoint, matcher):
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft inc"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_when_all_others(datapoint, matcher):
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "other", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "other", "Microsoft inc"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "other", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "other", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_when_all_other_only_filer(datapoint, matcher):
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "other", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "other", "Microsoft inc"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=True, max_others=0
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "other", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "other", "Microsoft"),
+    ]
+    assert others == []
+
+
+def test_adding_llm_relation_nonexact(datapoint, matcher):
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft inc"],
+        ["MISTAKE", "supplier", "WRONG NAME"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=False, max_others=1
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+    ]
+    assert others == [("Microsoft", "other", "Sony")]
+
+
+def test_adding_llm_nonexist_max_other_2(datapoint, matcher):
+    datapoint["sentence"] = (
+        "MISTAKE is supplier WRONG NAME of " + datapoint["sentence"]
+    )
+    datapoint["relations"] = [
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Sony Inc"],
+        ["ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft inc"],
+        ["MISTAKE", "supplier", "WRONG NAME"],
+    ]
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=False, max_others=2
+    )
+    assert llms == [
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Sony"),
+        ("ADVANCED MICRO DEVICES Inc", "supplier", "Microsoft"),
+        ("MISTAKE", "supplier", "WRONG NAME"),
+    ]
+    assert len(others) == 2
+
+
+def test_having_no_llm_relations(datapoint, matcher):
+    datapoint["sentence"] = (
+        "MISTAKE is supplier WRONG NAME of " + datapoint["sentence"]
+    )
+    datapoint["relations"] = []
+    llms, others = extract_relations_from_llm(
+        datapoint, matcher, threshold=0.9, only_filer=False, max_others=2
+    )
+    assert llms == []
+    assert len(others) == 2
+
+
+# ---------------------------------------------------------------------------
+# relation_search agreement table (test/test_conflict_finder.py:36-71)
+# ---------------------------------------------------------------------------
+
+ORBCOMM_RELATIONS = [
+    ["ORBCOMM Inc", "nothing", "Systems Inc"],
+    ["ORBCOMM Inc", "nothing", "inthinc Technology Solutions Inc"],
+    ["ORBCOMM Inc", "nothing", "Value added Solutions Providers"],
+    ["Onixsat", "supplier", "ORBCOMM Inc"],
+    ["Satlink", "supplier", "ORBCOMM Inc"],
+    ["Sascar", "supplier", "ORBCOMM Inc"],
+    ["Carrier Transicold", "supplier", "ORBCOMM Inc"],
+    ["Thermo King", "supplier", "ORBCOMM Inc"],
+    ["CS Wholesale", "supplier", "ORBCOMM Inc"],
+    ["Canadian National Railways", "supplier", "ORBCOMM Inc"],
+    ["CR England", "supplier", "ORBCOMM Inc"],
+    ["Hub Group Inc", "supplier", "ORBCOMM Inc"],
+    ["KLLM Transport Services", "supplier", "ORBCOMM Inc"],
+    ["Marten Transport", "supplier", "ORBCOMM Inc"],
+]
+
+CASES = [
+    (("ORBCOMM Inc", "nothing", "inthinc Technology Solutions Inc"), True),
+    (("Satlink", "nothing", "inthinc Technology Solutions Inc"), True),
+    (("Onixsat", "supplier", "ORBCOMM"), True),
+    (("ORBCOMM Inc", "supplier", "Systems Inc"), False),
+    (("Onixsat", "nothing", "ORBCOMM Inc"), False),
+    (("ORBCOMM Inc", "nothing", "Onixsat"), False),
+    (("ORBCOMM Inc", "supplier", "Onixsat"), False),
+    (("Random1", "nothing", "Random2"), True),
+    (("Hub Group", "supplier", "ORBCOMM Inc"), True),
+    (("Sascar", "supplier", "Onixsat"), False),
+    (("Sascar", "nothing", "Onixsat"), True),
+]
+
+
+@pytest.mark.parametrize("query,expected", CASES)
+def test_relation_search_table(matcher, query, expected):
+    got = relation_search(
+        query_relation=query,
+        relations_tuples=[tuple(t) for t in ORBCOMM_RELATIONS],
+        matcher=matcher,
+        threshold=0.85,
+        main_relations=["supplier"],
+    )
+    assert got == expected, query
+
+
+# ---------------------------------------------------------------------------
+# Rule-LLM annotator + masking
+# ---------------------------------------------------------------------------
+
+def test_mask_demask_roundtrip():
+    sent = "Acme Corp supplies Beta Inc."
+    masked, mapping = mask_terms(sent, ["Acme Corp", "Beta Inc"])
+    assert "Acme" not in masked and "Beta" not in masked
+    assert demask_terms(masked, mapping) == sent
+
+
+def test_rule_llm_annotator_direction():
+    ann = RuleLLMAnnotator()
+    triples = ann.annotate(
+        "Acme Corp supplies components to Beta Inc.", ["Acme Corp", "Beta Inc"]
+    )
+    assert ["Acme Corp", "supplier", "Beta Inc"] in triples
+    triples2 = ann.annotate(
+        "Beta Inc purchases modules from Acme Corp.", ["Acme Corp", "Beta Inc"]
+    )
+    assert ["Acme Corp", "supplier", "Beta Inc"] in triples2

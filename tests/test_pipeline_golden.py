@@ -1,0 +1,94 @@
+"""Golden end-to-end tests on the deterministic fixture corpus.
+
+BASELINE.md targets: triple P/R >= 0.95, byte-identical cleaned text per url,
+reverse-ensemble + position-mean semantics.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from finance_sc_relations_spark.functions.text_clean import rm_special_char
+from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
+from finance_sc_relations_spark.operators.segment import segment_sentences
+
+
+@pytest.fixture(scope="module")
+def pipeline_output(spark, fixture_corpus):
+    pages_pdf, gold_pdf, companies_pdf = fixture_corpus
+    pages = spark.createDataFrame(pages_pdf)
+    company_dict = spark.createDataFrame(companies_pdf)
+    out = run_pipeline(spark, pages, company_dict, PipelineConfig())
+    return out, gold_pdf
+
+
+def test_triple_precision_recall(pipeline_output):
+    out, gold_pdf = pipeline_output
+    got = (
+        out["linked_triples"]
+        .select("sentence_id", "subj_id", "obj_id")
+        .distinct()
+        .toPandas()
+    )
+    gold = gold_pdf[["sentence_id", "subj_id", "obj_id"]].drop_duplicates()
+    got_set = set(map(tuple, got.values))
+    gold_set = set(map(tuple, gold.values))
+    tp = len(got_set & gold_set)
+    precision = tp / max(len(got_set), 1)
+    recall = tp / max(len(gold_set), 1)
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
+def test_cleaned_text_byte_identical(spark, fixture_corpus):
+    """Spark-side cleaned+segmented text must equal the in-process reference
+    rm_special_char output per url (src/utils/data_clean.py:5-6)."""
+    pages_pdf, _, _ = fixture_corpus
+    sample = pages_pdf[pages_pdf.lang == "en"].head(50)
+    pages = spark.createDataFrame(sample)
+    sent = segment_sentences(pages, lang="en")
+    spark_joined = (
+        sent.groupBy("url")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("sent_index", "sentence"))
+                                           ).getField("sentence")).alias("clean"))
+        .toPandas()
+        .set_index("url")["clean"]
+    )
+    for _, row in sample.iterrows():
+        expected = rm_special_char(row["text"])
+        assert spark_joined[row["url"]] == expected, row["url"]
+
+
+def test_edges_direction_normalized(pipeline_output):
+    out, _ = pipeline_output
+    preds = [r["pred"] for r in out["edges"].select("pred").distinct().collect()]
+    assert preds == ["supplies_to"]
+
+
+def test_multi_org_gate(pipeline_output):
+    out, _ = pipeline_output
+    assert out["multi_org"].filter(F.col("num_orgs") <= 1).count() == 0
+
+
+def test_global_edges_consistent_with_page_edges(pipeline_output):
+    out, _ = pipeline_output
+    page_pairs = (
+        out["edges"].select("subj_id", "obj_id").distinct()
+    )
+    global_pairs = out["edges_global"].select("subj_id", "obj_id").distinct()
+    assert page_pairs.exceptAll(global_pairs).count() == 0
+    assert global_pairs.exceptAll(page_pairs).count() == 0
+
+
+def test_deterministic_rerun(spark, fixture_corpus):
+    """Same input -> identical triple set (mutation seeding, grouping and
+    linking are all deterministic)."""
+    pages_pdf, _, companies_pdf = fixture_corpus
+    pages = spark.createDataFrame(pages_pdf.head(60))
+    cd = spark.createDataFrame(companies_pdf)
+    a = run_pipeline(spark, pages, cd)["linked_triples"].toPandas()
+    b = run_pipeline(spark, pages, cd)["linked_triples"].toPandas()
+    key = ["sentence_id", "r_id", "subj_id", "obj_id"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
