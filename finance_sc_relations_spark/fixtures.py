@@ -364,7 +364,18 @@ def write_fixture_parquet(out_dir: str | Path, n_pages: int) -> Path:
         return out
     out.mkdir(parents=True, exist_ok=True)
     pages_df, gold_df, companies = generate_corpus(n_pages)
-    pages_df.to_parquet(out / "pages.parquet", index=False)
+    # Spark cannot read TIMESTAMP(NANOS) parquet; coerce to microseconds.
+    pages_df["warc_ts"] = pages_df["warc_ts"].astype("datetime64[us, UTC]")
+    # Write pages as multiple part files so the Spark scan parallelizes
+    # (a single parquet file = a single scan task).
+    pages_dir = out / "pages.parquet"
+    pages_dir.mkdir(parents=True, exist_ok=True)
+    n_parts = max(1, min(16, n_pages // 1000))
+    step = -(-len(pages_df) // n_parts)  # ceil division
+    for i, start in enumerate(range(0, len(pages_df), step)):
+        pages_df.iloc[start : start + step].to_parquet(
+            pages_dir / f"part-{i:04d}.parquet", index=False
+        )
     gold_df.to_parquet(out / "gold_triples.parquet", index=False)
     companies.to_parquet(out / "company_dict.parquet", index=False)
     marker.touch()

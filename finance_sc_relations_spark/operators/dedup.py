@@ -1,0 +1,344 @@
+"""Deduplication operators for corpus curation at 100 TB scale.
+
+Five tiers, cheapest first (a production pipeline composes them):
+- exact:          fingerprint hash groupBy — one shuffle on the hash.
+- ngram-jaccard:  exact set-similarity via n-gram posting-list self-join —
+                  the oracle-checkable ground truth for the approximate tiers.
+- MinHash + LSH:  shingle -> minhash signature -> banded bucket join ->
+                  candidate verification. Scales linearly: candidates only
+                  ever meet inside a band bucket (never a full cross join).
+- SimHash:        64-bit signature, near-dups = small Hamming distance,
+                  banded by rotating 16-bit blocks.
+- embedding:      cosine >= threshold over an embedding column.
+
+All signatures are computed in Arrow-batched pandas UDFs (numpy vectorized);
+all joins are Catalyst equi-joins so AQE can handle bucket skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .text_stats import fingerprint_col
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per fingerprint (deterministic winner)."""
+    fp = docs.withColumn("fingerprint", fingerprint_col(text_col))
+    winners = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return winners.join(fp, [id_col, "fingerprint"], "inner").drop("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact set similarity, the verification oracle)
+# ---------------------------------------------------------------------------
+
+def _ngram_col(text_col: str, n: int) -> F.Column:
+    """Distinct word-level n-grams as an array<string> (JVM-side)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.filter(ngrams, lambda g: F.length(g) > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with word-n-gram Jaccard >= threshold.
+
+    Posting-list self-join: explode distinct n-grams, join on the n-gram,
+    count co-occurrences, Jaccard = co / (|a| + |b| - co). Never materializes
+    a cross join; the shuffle key is the n-gram (long tail, AQE-coalesced)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"), _ngram_col(text_col, n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "gram"
+    )
+    co = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("co"))
+    )
+    jac = co.withColumn(
+        "jaccard", F.col("co") / (F.col("na") + F.col("nb") - F.col("co"))
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (blake2b) — Python's builtin hash()
+    is PYTHONHASHSEED-dependent and would break cross-run reproducibility."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+    )
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    words = re.split(r"\s+", text.lower().strip())
+    shingles = {" ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 1))}
+    return np.fromiter(
+        (_hash64(s) & 0x7FFFFFFFFFFFFFFF for s in shingles), dtype=np.uint64
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, signature array<long>) via vectorized (a*x+b) mod p minwise
+    hashing over word shingles."""
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("signature", ArrayType(LongType()), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = _minhash_params(num_perm)
+        for batch in batches:
+            sigs = []
+            for text in batch[text_col]:
+                x = _shingle_hashes(text, shingle_n)
+                if x.size == 0:
+                    sigs.append(np.zeros(num_perm, dtype=np.int64))
+                    continue
+                # (num_perm, n_shingles) — vectorized over both axes
+                hv = (np.outer(a, x) + b[:, None]) % _MERSENNE
+                sigs.append(hv.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"id": batch[id_col].astype("int64"), "signature": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(_map, schema=schema)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by signature-estimated
+    Jaccard >= threshold.
+
+    bands * rows_per_band == num_perm; the S-curve collision probability is
+    1-(1-s^r)^b. Bucket join key = (band index, hash of the band slice)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col)
+    bands_df = sigs.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands_df.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = bands_df.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cands.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(len(_minhash_params(num_perm)[0]))),
+            4,
+        ),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word tokens (sign-sum of per-token hash bits)."""
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_cols = np.arange(64, dtype=np.uint64)
+        word_cache: dict = {}
+        for batch in batches:
+            out = []
+            for text in batch[text_col]:
+                words = re.split(r"\s+", text.lower().strip())
+                if not words:
+                    out.append(0)
+                    continue
+                for w in words:
+                    if w not in word_cache:
+                        word_cache[w] = _hash64(w)
+                hv = np.fromiter(
+                    (word_cache[w] for w in words), dtype=np.uint64
+                )
+                bits = (hv[:, None] >> bit_cols) & 1  # (n_words, 64)
+                votes = bits.sum(axis=0) * 2 - len(words)
+                sig = np.uint64(0)
+                for i in range(64):
+                    if votes[i] > 0:
+                        sig |= np.uint64(1) << np.uint64(i)
+                out.append(int(sig.astype(np.int64)))
+            yield pd.DataFrame({"id": batch[id_col].astype("int64"), "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(_map, schema=schema)
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: 4 x 16-bit blocks — any pair within Hamming 3 must agree on at
+    least one block (pigeonhole), so the join key is (block index, block
+    value); verification computes the exact popcount distance."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("block", "value"),
+    )
+    a = blocks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "value")
+    b = blocks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "value")
+    cands = (
+        a.join(b, ["block", "value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a < id_b) pairs with cosine >= threshold.
+
+    JVM-side: zip_with product + aggregate sum — no Python in the join. The
+    O(n^2) self-join is the exact tier; at corpus scale you run the LSH
+    bucketing in simsearch.py first and verify only candidates."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm.alias("norm"),
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -76,20 +76,26 @@ def normalize_name(name: str) -> str:
 
 def link_surfaces(
     surfaces: DataFrame,
-    company_dict: DataFrame,
+    company_dict,
     cand_thresh: float = 0.8,
     match_thresh: float = 0.95,
 ) -> DataFrame:
     """surfaces(surface) -> LINKED_SCHEMA via exact-alias + prefix-blocked
     fuzzy matching against the broadcast dictionary (L5+L6).
 
+    company_dict may be a Spark DF or a pre-collected pandas DF (the pipeline
+    collects it once and reuses it across stages).
     Exact matches (canonical name or known alias) score 1.0; otherwise the
     best prefix-block cosine >= match_thresh wins (match_companies thresholds,
     src/sagemaker/re_inference.py:135-137 defaults)."""
     spark = surfaces.sparkSession
-    dict_pdf = company_dict.select(
-        "entity_id", "canonical_name", "prefix2", "aliases"
-    ).toPandas()
+    dict_pdf = (
+        company_dict
+        if isinstance(company_dict, pd.DataFrame)
+        else company_dict.select(
+            "entity_id", "canonical_name", "prefix2", "aliases"
+        ).toPandas()
+    )
     rows = []
     for rec in dict_pdf.itertuples(index=False):
         rows.append((rec.entity_id, rec.canonical_name, rec.prefix2, rec.canonical_name))
@@ -166,6 +172,8 @@ def canonicalize_unmatched(
     labels = unmatched.select(
         "surface", normalized_name_col("surface").alias("label")
     )
+    if alias_edges is not None and unmatched.isEmpty():
+        alias_edges = None  # nothing to propagate — skip the iteration loop
     if alias_edges is not None:
         edges = (
             alias_edges.select(

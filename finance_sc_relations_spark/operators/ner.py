@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    FloatType,
     IntegerType,
     MapType,
     StringType,
@@ -308,19 +309,45 @@ def analyze_sentence(sentence: str, gaz: _Gazetteer, embedder: HashEmbedder):
     return spans, groups, filtered
 
 
-def detect_mentions(sentences: DataFrame, company_dict: DataFrame) -> DataFrame:
-    """sentences(url, sentence_id, sentence, ...) -> mentions (MENTION_SCHEMA).
+def detect_mentions(
+    sentences: DataFrame,
+    company_dict,
+    include_spans: bool = True,
+    with_sc: bool = False,
+) -> DataFrame:
+    """sentences(url, sentence_id, sentence, ...) -> mentions.
 
-    company_dict is collected + broadcast (small dim table — the reference's
-    DynamoDB `company` lookup, src/relation_extraction/reporter.py:143-187).
+    company_dict (Spark DF or pre-collected pandas DF) is collected once +
+    broadcast (small dim table — the reference's DynamoDB `company` lookup,
+    src/relation_extraction/reporter.py:143-187).
+
+    include_spans=False drops the span struct array — by far the widest
+    column — from the output; downstream extraction needs only org_groups.
+    with_sc=True fuses the supply-chain sentence scorer into this same pass,
+    saving a full JVM<->Arrow round trip of every sentence batch (profiling
+    showed Arrow serialization, not Python compute, dominating CPU).
     """
     spark = sentences.sparkSession
-    pdf = company_dict.select("canonical_name", "aliases").toPandas()
+    pdf = (
+        company_dict
+        if isinstance(company_dict, pd.DataFrame)
+        else company_dict.select("canonical_name", "aliases").toPandas()
+    )
     forms: List[str] = []
     for _, row in pdf.iterrows():
         forms.append(row["canonical_name"])
         forms.extend(list(row["aliases"] or []))
     bc = spark.sparkContext.broadcast(forms)
+
+    if with_sc:
+        from .models import get_sc_model
+    fields = [f for f in MENTION_SCHEMA.fields if include_spans or f.name != "spans"]
+    if with_sc:
+        fields += [
+            StructField("sc_label", IntegerType(), False),
+            StructField("sc_score", FloatType(), False),
+        ]
+    schema = StructType(fields)
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = _get_gazetteer(id(bc.value), bc.value)
@@ -335,19 +362,23 @@ def detect_mentions(sentences: DataFrame, company_dict: DataFrame) -> DataFrame:
                     [dict(target=t, alias=a) for t, a in aliases]
                 )
                 num_col.append(len(set(groups.values())))
-            yield pd.DataFrame(
-                {
-                    "url": batch["url"],
-                    "sentence_id": batch["sentence_id"],
-                    "sentence": batch["sentence"],
-                    "spans": spans_col,
-                    "org_groups": groups_col,
-                    "aliases": aliases_col,
-                    "num_orgs": num_col,
-                }
-            )
+            out = {
+                "url": batch["url"],
+                "sentence_id": batch["sentence_id"],
+                "sentence": batch["sentence"],
+                "org_groups": groups_col,
+                "aliases": aliases_col,
+                "num_orgs": num_col,
+            }
+            if include_spans:
+                out["spans"] = spans_col
+            if with_sc:
+                scores = get_sc_model().score_batch(batch["sentence"].tolist())
+                out["sc_label"] = scores.argmax(axis=1).astype("int32")
+                out["sc_score"] = scores.max(axis=1).astype("float32")
+            yield pd.DataFrame(out)[[f.name for f in schema.fields]]
 
-    return sentences.mapInPandas(_map, schema=MENTION_SCHEMA)
+    return sentences.mapInPandas(_map, schema=schema)
 
 
 def gate_multi_org(mentions: DataFrame) -> DataFrame:

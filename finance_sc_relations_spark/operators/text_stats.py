@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data curation at corpus scale.
+
+All of these stay JVM-side (pure Catalyst expressions, whole-stage codegen)
+except language-ID, which is an Arrow-batched pandas UDF over character
+n-gram profiles. These extend the reference's per-sentence text handling
+(SURVEY.md §2.2) to the corpus-curation operations a 100 TB training-data
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+# Whitespace + BPE-ish token regex: word pieces OR single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"
+
+_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on that the to "
+    "was were will with"
+).split()
+
+
+def token_count_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def whitespace_token_count_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def punct_ratio_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(words, stop))  # distinct-stopword count
+    # ratio over distinct words keeps both engines' semantics identical
+    return F.when(
+        F.size(words) > 0, n_stop / F.size(F.array_distinct(words))
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards moderate length, penalizes
+    punctuation soup and stopword-free word salad (heuristics standard in
+    web-corpus curation pipelines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio_col(c) * 5.0)
+    stop_score = F.least(stopword_ratio_col(c) * 4.0, F.lit(1.0))
+    return F.round((len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3), 4)
+
+
+def fingerprint_col(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (content-defined id for exact dedup; md5 exists in both Spark and the
+    DuckDB oracle so values cross-check)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id",
+        token_count_col(text_col).alias("n_tokens"),
+        whitespace_token_count_col(text_col).alias("n_ws_tokens"),
+        F.round(punct_ratio_col(text_col), 4).alias("punct_ratio"),
+        F.round(stopword_ratio_col(text_col), 4).alias("stopword_ratio"),
+        quality_score_col(text_col).alias("quality"),
+        fingerprint_col(text_col).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: character-n-gram profile heuristic (Cavnar-Trenkle style)
+# ---------------------------------------------------------------------------
+
+# Tiny built-in profiles: most-frequent trigrams per language (public
+# linguistic knowledge). Real deployments would broadcast trained profiles.
+_LANG_PROFILES = {
+    "en": ["the", " th", "he ", "ing", "ng ", "and", " an", "nd ", " of", "of "],
+    "de": ["en ", "er ", " de", "der", "ie ", "die", "sch", "ein", "ch ", "cht"],
+    "fr": [" de", "de ", " le", "es ", "le ", "ent", "nt ", "que", " qu", "ue "],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu", "as "],
+    "zh": [],  # CJK detected by codepoint range instead
+}
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Append a detected_lang column via an Arrow-batched n-gram scorer."""
+    schema = StructType(
+        docs.select(id_col, text_col).schema.fields
+        + [StructField("detected_lang", StringType(), False)]
+    )
+
+    profiles = {
+        lang: set(grams) for lang, grams in _LANG_PROFILES.items() if grams
+    }
+
+    def _detect(text: str) -> str:
+        if any("一" <= ch <= "鿿" for ch in text[:400]):
+            return "zh"
+        t = f" {text[:400].lower()} "
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best, best_hits = "en", -1
+        for lang, prof in profiles.items():
+            hits = len(grams & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = batch[[id_col, text_col]].copy()
+            out["detected_lang"] = [_detect(t) for t in batch[text_col]]
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(_map, schema=schema)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.segment import segment_sentences
@@ -45,6 +46,10 @@ class PipelineConfig:
     cand_thresh: float = 0.8
     model_partitions: int | None = None
     salt_buckets: int = 32
+    # Persist DAG branch points (mentions feeds both the pair fan-out and the
+    # alias-edge path; triples feeds both surface linking and edge building).
+    # Without this Spark recomputes the whole extraction subtree per branch.
+    persist_intermediate: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -58,21 +63,46 @@ def run_pipeline(
     stage name (callers persist what they need)."""
     cfg = config or PipelineConfig()
 
+    # Collect the (small) dictionary ONCE; it feeds both the NER gazetteer
+    # and the linking stage as a broadcast.
+    company_pdf = company_dict.select(
+        "entity_id", "canonical_name", "prefix2", "aliases"
+    ).toPandas()
+
     sentences = segment_sentences(pages, lang=cfg.lang)
-    mentions = detect_mentions(sentences, company_dict)
+    # The input often arrives as a handful of parquet files (or one); the
+    # model stages need >= slot-count partitions to parallelize. On a real
+    # cluster this is the repartition-before-model-fleet step
+    # (reference analog: instance-fleet sizing, glue_etl.py:548-593).
+    n_part = cfg.model_partitions or spark.sparkContext.defaultParallelism * 2
+    sentences = sentences.repartition(n_part)
+    # Fused NER+SC pass, spans dropped: Arrow serialization of the wide span
+    # structs through back-to-back UDF stages dominated CPU (see operator
+    # docstring). spans remain available via detect_mentions(include_spans=True).
+    mentions = detect_mentions(
+        sentences, company_pdf, include_spans=False, with_sc=cfg.use_sc_gate
+    )
+    if cfg.persist_intermediate:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     multi_org = gate_multi_org(mentions)
     if cfg.use_sc_gate:
-        gated = sc_gate(sc_classify(multi_org), threshold=cfg.sc_threshold)
+        gated = sc_gate(multi_org, threshold=cfg.sc_threshold)
     else:
         gated = multi_org
-    pairs = generate_tagged_pairs(gated, num_positions=cfg.num_positions)
+    # Only the columns the tagging UDF consumes cross the Arrow boundary.
+    pair_input = gated.select("url", "sentence_id", "sentence", "org_groups")
+    pairs = generate_tagged_pairs(pair_input, num_positions=cfg.num_positions)
     classified = classify_pairs(
-        pairs,
+        pairs.select(
+            "url", "sentence_id", "r_id", "sents", "entity1", "entity2", "org_groups"
+        ),
         mutate=cfg.mutate,
         reverse=cfg.reverse,
         model_partitions=cfg.model_partitions,
     )
     triples = emit_triples(classified, score_threshold=cfg.score_threshold)
+    if cfg.persist_intermediate:
+        triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
 
     surfaces = (
         triples.select(triples.subj_surface.alias("surface"))
@@ -80,7 +110,7 @@ def run_pipeline(
         .distinct()
     )
     linked_surfaces = link_surfaces(
-        surfaces, company_dict,
+        surfaces, company_pdf,
         cand_thresh=cfg.cand_thresh, match_thresh=cfg.match_thresh,
     )
     alias_edges = build_alias_edges(mentions)

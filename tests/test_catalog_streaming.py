@@ -1,0 +1,100 @@
+"""Table catalog (partition overwrite + incremental ingest) and streaming."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from finance_sc_relations_spark.sources.catalog import TableCatalog
+from finance_sc_relations_spark.streaming.incremental import (
+    stream_event_rollup,
+    stream_extract_triples,
+)
+from finance_sc_relations_spark.fixtures import generate_corpus
+
+
+def test_catalog_roundtrip_and_partition_overwrite(spark, tmp_path):
+    cat = TableCatalog(spark, tmp_path / "wh")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, part string, v long"
+    )
+    cat.create_or_replace(df, "t", partition_by=["part"])
+    assert cat.read("t").count() == 3
+
+    # dynamic partition overwrite: only partition 'a' replaced
+    upd = spark.createDataFrame([(9, "a", 99)], "id long, part string, v long")
+    cat.overwrite_partitions(upd, "t", partition_by=["part"])
+    got = cat.read("t").toPandas().sort_values("id")
+    assert set(got["id"]) == {3, 9}  # 'b' partition survived
+
+
+def test_incremental_ingest_anti_join(spark, tmp_path):
+    cat = TableCatalog(spark, tmp_path / "wh2")
+    first = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    assert cat.incremental_ingest(first, "inc", key="id") == 2
+    # overlapping batch: only id=3 is new
+    second = spark.createDataFrame([(2, "y"), (3, "z")], "id long, v string")
+    assert cat.incremental_ingest(second, "inc", key="id") == 1
+    assert cat.read("inc").count() == 3
+    # idempotent replay ingests nothing
+    assert cat.incremental_ingest(second, "inc", key="id") == 0
+
+
+def test_stream_event_rollup_matches_batch(spark, tmp_path):
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    ["2024-01-01 02:00", "2024-01-01 14:00", "2024-01-02 03:00"]
+                ),
+                "event_type": ["click", "click", "view"],
+                "value": [1.0, 2.0, 5.0],
+            }
+        )
+    )
+    src = tmp_path / "events_src"
+    events.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema).parquet(str(src))
+    )
+    rolled = stream_event_rollup(stream, window="1 day", watermark="2 days")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM rollup_test").toPandas()
+    clicks = got[got.event_type == "click"]
+    assert int(clicks["n"].iloc[0]) == 2
+    assert int(clicks["total_value_cents"].iloc[0]) == 300
+
+
+def test_stream_extract_triples_end_to_end(spark, tmp_path):
+    """File-stream ingest of pages -> triples parquet, exactly-once via
+    checkpoint: re-running with availableNow processes nothing new."""
+    pages_pdf, gold_pdf, companies_pdf = generate_corpus(40)
+    pages_pdf["warc_ts"] = pages_pdf["warc_ts"].astype("datetime64[us, UTC]")
+    src = tmp_path / "pages_stream"
+    src.mkdir()
+    pages_pdf.iloc[:20].to_parquet(src / "part-0.parquet", index=False)
+    pages_pdf.iloc[20:].to_parquet(src / "part-1.parquet", index=False)
+
+    out_dir = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    writer = stream_extract_triples(
+        spark, str(src), companies_pdf, out_dir, ckpt
+    )
+    q = writer.start()
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    n1 = got.count()
+    assert n1 > 0
+
+    # replay: checkpoint prevents reprocessing
+    q2 = stream_extract_triples(
+        spark, str(src), companies_pdf, out_dir, ckpt
+    ).start()
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == n1

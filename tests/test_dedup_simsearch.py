@@ -1,0 +1,151 @@
+"""Dedup tiers + ANN: approximate tiers verified against exact ground truth."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from finance_sc_relations_spark.operators import dedup as D
+from finance_sc_relations_spark.operators import simsearch as S
+from finance_sc_relations_spark.operators import text_stats as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic docs with planted near-duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "engineers review the quarterly supply chain report in detail"
+    )
+    rows = []
+    for i in range(40):
+        rows.append((i, f"document number {i} " + base + f" unique token{i}"))
+    # exact duplicates
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1]))
+    # near duplicate (one word changed)
+    rows.append((102, rows[2][1].replace("quarterly", "monthly")))
+    # unrelated
+    rows.append((103, "completely different text about gardening and tulips"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = D.exact_dedup(docs).toPandas()
+    assert 100 not in set(out["doc_id"])  # duplicate of doc 0
+    assert 101 not in set(out["doc_id"])
+    assert 0 in set(out["doc_id"]) and 1 in set(out["doc_id"])
+    assert len(out) == docs.count() - 2
+
+
+def _exact_jaccard(a: str, b: str, n: int) -> float:
+    def grams(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 1))}
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb)
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, docs):
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    got = D.ngram_jaccard_pairs(docs, n=3, threshold=0.6).toPandas()
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples(index=False)}
+    ids = sorted(pdf.index)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            exact = _exact_jaccard(pdf[a], pdf[b], 3)
+            if exact >= 0.6:
+                assert (a, b) in got_pairs, (a, b, exact)
+                assert abs(got_pairs[(a, b)] - exact) < 1e-3
+            else:
+                assert (a, b) not in got_pairs or got_pairs[(a, b)] >= 0.6
+
+
+def test_minhash_finds_planted_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.7).toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples(index=False)}
+    assert (0, 100) in found
+    assert (1, 101) in found
+    assert (2, 102) in found  # near-dup
+    # estimated jaccard of exact dup ~1.0
+    exact_row = pairs[(pairs.id_a == 0) & (pairs.id_b == 100)]
+    assert exact_row["est_jaccard"].iloc[0] == 1.0
+    # unrelated doc never pairs
+    assert not any(103 in p for p in found)
+
+
+def test_simhash_exact_dup_distance_zero(spark, docs):
+    pairs = D.simhash_near_pairs(docs, max_hamming=3).toPandas()
+    d = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples(index=False)}
+    assert d.get((0, 100)) == 0
+    assert d.get((1, 101)) == 0
+    assert (2, 102) in d  # near-dup within small hamming distance
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((60, 16)).astype("float32")
+    vecs[50] = vecs[0] + rng.standard_normal(16).astype("float32") * 0.01  # near-dup
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dups(spark, embeddings):
+    pairs = D.embedding_near_dup_pairs(embeddings, threshold=0.99).toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples(index=False)}
+    assert (0, 50) in found
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.brute_force_topk(embeddings, queries, k=5).toPandas()
+    ann = S.lsh_topk(
+        embeddings, queries, dim=16, k=5, bands=16, bits_per_band=2
+    ).toPandas()
+    recall_hits = 0
+    total = 0
+    for q in range(8):
+        b = set(brute[brute.query_id == q]["vec_id"])
+        a = set(ann[ann.query_id == q]["vec_id"])
+        recall_hits += len(a & b)
+        total += len(b)
+    assert recall_hits / total >= 0.6  # tunable recall; exact tier is brute
+
+
+def test_brute_force_topk_correct(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = S.brute_force_topk(embeddings, queries, k=1).toPandas()
+    assert top.iloc[0]["vec_id"] == 50  # the planted near-dup is rank 1
+
+
+def test_lang_id_detects_cjk_and_english(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the company and its suppliers are of the industry"),
+            (2, "这是一个中文文档 关于供应链的内容"),
+            (3, "der Lieferant und die Kunden sind ein Teil der Kette schlecht"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["detected_lang"] for r in T.lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "zh"
+    assert out[3] == "de"
+
+
+def test_quality_and_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog."),
+         (2, "!!! ??? ... ;;; ###"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    out = T.text_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_tokens"] == 10  # 9 words + final period
+    assert out.loc[1, "quality"] > out.loc[2, "quality"]
+    assert out.loc[2, "punct_ratio"] > 0.5

@@ -1,0 +1,96 @@
+"""Resume-equivalence: kill after stage k, rerun, identical final table
+(BASELINE.md resumability target; reference analog block_job_files/add_results,
+src/glue/glue_etl.py:313-444)."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from finance_sc_relations_spark.fixtures import write_fixture_parquet
+from finance_sc_relations_spark.plans.checkpoint import (
+    CheckpointManager,
+    run_pipeline_checkpointed,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fixture")
+    write_fixture_parquet(root, 80)
+    return str(root / "pages.parquet"), str(root / "company_dict.parquet")
+
+
+def _triples_set(out):
+    rows = (
+        out["linked_triples"]
+        .select("sentence_id", "r_id", "subj_id", "obj_id")
+        .collect()
+    )
+    return sorted(tuple(r) for r in rows)
+
+
+def test_full_run_then_resume_identical(spark, fixture_paths, tmp_path):
+    pages_path, cd_path = fixture_paths
+    ckpt_root = tmp_path / "ckpt"
+
+    out1 = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_root)
+    t1 = _triples_set(out1)
+    assert len(t1) > 0
+
+    # rerun with same checkpoint root: all stages resume (no recompute) and
+    # the result is identical
+    out2 = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_root)
+    assert _triples_set(out2) == t1
+
+
+def test_kill_mid_run_resumes(spark, fixture_paths, tmp_path):
+    """Simulate a crash after the pairs stage: later stage tables missing,
+    manifest for completed stages present -> rerun completes and matches a
+    from-scratch run."""
+    pages_path, cd_path = fixture_paths
+    ckpt_a = tmp_path / "ckpt_a"
+    ckpt_b = tmp_path / "ckpt_b"
+
+    ref = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_a)
+    expected = _triples_set(ref)
+
+    # full run in B, then delete everything after 'pairs' to simulate the kill
+    run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_b)
+    for stage in ["classified", "triples", "linked_triples", "edges"]:
+        shutil.rmtree(ckpt_b / stage)
+
+    out = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_b)
+    assert _triples_set(out) == expected
+
+
+def test_lineage_rows_written(spark, fixture_paths, tmp_path):
+    pages_path, cd_path = fixture_paths
+    ckpt_root = tmp_path / "ckpt"
+    out = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_root)
+    lineage = out["checkpoint"].lineage().toPandas()
+    stages = set(lineage["stage"])
+    assert {"sentences", "mentions", "pairs", "classified", "triples",
+            "linked_triples", "edges"} <= stages
+    assert (lineage["output_rows"] >= 0).all()
+    assert (lineage["wall_ms"] >= 0).all()
+
+
+def test_fingerprint_change_invalidates(spark, fixture_paths, tmp_path):
+    """A changed input fingerprint must force recompute, not stale reads."""
+    pages_path, cd_path = fixture_paths
+    ckpt = CheckpointManager(spark, tmp_path / "c")
+    df1 = ckpt.run_stage(
+        "s", lambda: spark.range(5).toDF("id"), input_fingerprint="a"
+    )
+    assert df1.count() == 5
+    df2 = ckpt.run_stage(
+        "s", lambda: spark.range(9).toDF("id"), input_fingerprint="b"
+    )
+    assert df2.count() == 9
+    # same fingerprint -> resume (function that would fail is never called)
+    df3 = ckpt.run_stage(
+        "s", lambda: (_ for _ in ()).throw(AssertionError("recomputed!")),
+        input_fingerprint="b",
+    )
+    assert df3.count() == 9
