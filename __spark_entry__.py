@@ -564,6 +564,25 @@ def _q_kg_triples_fixture(spark, sf_dir):
     ).orderBy("sentence_id", "subj_id", "obj_id")
 
 
+def _q_doc_relations_fixture(spark, sf_dir):
+    """Per-document reporter-aware relation rollup (L7-L10) over the fixture
+    corpus (rows-only; semantics pytest-verified in test_reporter_readers)."""
+    from finance_sc_relations_spark.fixtures import generate_corpus
+    from finance_sc_relations_spark.operators.reporter import aggregate_doc_relations
+    from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    pages_pdf, _, companies_pdf = generate_corpus(100)
+    out = run_pipeline(
+        spark,
+        spark.createDataFrame(pages_pdf),
+        spark.createDataFrame(companies_pdf),
+        PipelineConfig(),
+    )
+    return aggregate_doc_relations(out["linked_triples"], out["mentions"]).select(
+        "url", "company", "relationship", "n_evidence"
+    ).orderBy("url", "company")
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing: deterministic feature extraction
     over synthetic media payloads (decode kernel stubbed; schema/batching
@@ -604,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "lang_id": _q_lang_id,
         "kg_triples_fixture": _q_kg_triples_fixture,
+        "doc_relations_fixture": _q_doc_relations_fixture,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -1,0 +1,34 @@
+"""Suffix-dispatched file reader (S1).
+
+Port of predict_frame/read_frame's format dispatch
+(src/relation_extraction/infer.py:368-413,
+src/relation_extraction/preprocessing_funcs.py:65-73,
+src/sc_classifier/processing/data_manager.py:28-50) to spark.read:
+tsv/csv/json/jsonl/parquet. xlsx is out of scope (no JVM reader; the
+reference used pandas.read_excel)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_READERS = {
+    ".csv": lambda s, p: s.read.option("header", True).option("inferSchema", True).csv(p),
+    ".tsv": lambda s, p: s.read.option("header", True)
+    .option("sep", "\t")
+    .option("inferSchema", True)
+    .csv(p),
+    ".json": lambda s, p: s.read.option("multiLine", True).json(p),
+    ".jsonl": lambda s, p: s.read.json(p),
+    ".parquet": lambda s, p: s.read.parquet(p),
+}
+
+
+def read_frame(spark: SparkSession, path: str) -> DataFrame:
+    suffix = Path(path).suffix.lower()
+    if suffix not in _READERS:
+        raise ValueError(
+            f"Unsupported file type {suffix!r}; expected one of {sorted(_READERS)}"
+        )
+    return _READERS[suffix](spark, path)

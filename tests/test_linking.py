@@ -1,0 +1,90 @@
+"""Entity linking: prefix-blocked fuzzy matching, and corpus-level
+connected-components canonicalization of dictionary-unknown surfaces."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from finance_sc_relations_spark.fixtures import company_universe
+from finance_sc_relations_spark.operators.linking import (
+    canonicalize_unmatched,
+    link_surfaces,
+    normalize_name,
+    normalized_name_col,
+)
+from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
+from finance_sc_relations_spark.schemas import PAGES
+
+
+def test_normalize_matches_reference_rules(spark):
+    # reporter.py:148-156: strip punct, lowercase, drop 'the', drop spaces
+    assert normalize_name("The Acme Corp.") == "acmecorp"
+    df = spark.createDataFrame([("The Acme Corp.",)], "s string")
+    got = df.select(normalized_name_col("s").alias("n")).collect()[0]["n"]
+    assert got == "acmecorp"
+
+
+def test_exact_and_fuzzy_linking(spark):
+    cd = spark.createDataFrame(company_universe())
+    surfaces = spark.createDataFrame(
+        [("Sonexa",), ("Sonexa Corporation",), ("Quantrix Semiconductors Corporation",),
+         ("Quantrix Semiconductors Corp",),  # fuzzy variant
+         ("Totally Unknown Ventures LLC",)],
+        "surface string",
+    )
+    linked = {r["surface"]: (r["entity_id"], r["link_score"])
+              for r in link_surfaces(surfaces, cd).collect()}
+    assert linked["Sonexa"][1] == 1.0  # exact
+    assert linked["Quantrix Semiconductors Corporation"][1] == 1.0
+    # fuzzy variant links to the same entity above the 0.95 gate
+    assert (
+        linked["Quantrix Semiconductors Corp"][0]
+        == linked["Quantrix Semiconductors Corporation"][0]
+    )
+    assert linked["Totally Unknown Ventures LLC"][0] is None
+
+
+def test_connected_components_unify_alias_chain(spark):
+    """Unknown surfaces linked by alias edges collapse to one canonical id,
+    including transitive chains (a-b, b-c -> one component)."""
+    cd = spark.createDataFrame(company_universe())
+    surfaces = spark.createDataFrame(
+        [("Zorblatt Industries Inc",), ("Zorblatt",), ("ZII Holdings",),
+         ("Lonely Startup Inc",)],
+        "surface string",
+    )
+    linked = link_surfaces(surfaces, cd)
+    alias_edges = spark.createDataFrame(
+        [("Zorblatt Industries Inc", "Zorblatt"), ("Zorblatt", "ZII Holdings")],
+        "target string, alias string",
+    )
+    s2e = {r["surface"]: r["entity_id"]
+           for r in canonicalize_unmatched(linked, alias_edges).collect()}
+    assert s2e["Zorblatt Industries Inc"] == s2e["Zorblatt"] == s2e["ZII Holdings"]
+    assert s2e["Zorblatt"].startswith("SF:")
+    assert s2e["Lonely Startup Inc"] != s2e["Zorblatt"]
+
+
+def test_pipeline_links_unknown_company_via_pattern_tier(spark):
+    """A company absent from the dictionary is still detected (pattern-tier
+    NER), extracted, and canonicalized with a stable SF: id."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    cd = spark.createDataFrame(company_universe())
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(url="u1", warc_ts=ts, html=b"",
+                     text="Zorblatt Industries Inc supplies components to Sonexa Inc.",
+                     lang="en"),
+            ]
+        )
+    )
+    out = run_pipeline(spark, pages, cd, PipelineConfig())
+    rows = out["linked_triples"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["subj_id"].startswith("SF:zorblatt")
+    assert r["obj_id"].startswith("LEI")
