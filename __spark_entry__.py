@@ -304,6 +304,33 @@ GROUP BY 1
 """
 
 
+def _q_sql_interface(spark, sf_dir):
+    """S2: the SQL surface — the same engine through spark.sql over
+    registered views (the Athena-source analog, glue_etl.py:824-886)."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_brand,
+               count(*) AS n_items,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS total_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size >= 25
+        GROUP BY p.p_brand
+        """
+    )
+
+
+_SQL_INTERFACE_SQL = """
+SELECT p.p_brand,
+       count(*) AS n_items,
+       sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS total_cents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 25
+GROUP BY p.p_brand
+"""
+
+
 def _q_events_daily(spark, sf_dir):
     """Windowed event aggregation (the batch twin of the streaming
     tumbling-window rollup in streaming/windows.py)."""
@@ -608,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_set": _q_union_set,
         "explode_tokens": _q_explode_tokens,
         "region_revenue": _q_region_revenue,
+        "sql_interface": _q_sql_interface,
         "events_daily": _q_events_daily,
         "skewed_user_agg": _q_skewed_user_agg,
         "clean_text": _q_clean_text,
@@ -640,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "union_set": _UNION_SQL,
         "explode_tokens": _EXPLODE_SQL,
         "region_revenue": _REGION_REVENUE_SQL,
+        "sql_interface": _SQL_INTERFACE_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
         "skewed_user_agg": _SKEWED_USER_SQL,
         "clean_text": _CLEAN_TEXT_SQL,

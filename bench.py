@@ -27,7 +27,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "3000"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -95,7 +95,11 @@ def bench_default() -> None:
     )
     timed("ann_lsh_topk", lambda: S.lsh_topk(emb, q10, dim=64, k=5, bands=16, bits_per_band=4).count())
 
-    # KG pipeline throughput
+    # KG pipeline throughput (fixture materialization and a warm-up pass
+    # excluded so we measure the job, not corpus generation or JIT/codegen/
+    # python-worker startup)
+    _fixture_pages_dir(BENCH_PAGES)
+    run_kg_pipeline(spark, 1000)
     t0 = time.perf_counter()
     kg = run_kg_pipeline(spark, BENCH_PAGES)
     kg_sec = time.perf_counter() - t0

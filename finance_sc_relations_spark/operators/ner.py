@@ -381,6 +381,17 @@ def detect_mentions(
     return sentences.mapInPandas(_map, schema=schema)
 
 
+def create_org_groups(spans: List[dict]) -> Dict[str, int]:
+    """Fallback org_groups from spans when no matcher ran (N9): distinct ORG
+    texts enumerated in first-seen order (src/relation_extraction/
+    misc.py:162-166)."""
+    groups: Dict[str, int] = {}
+    for s in spans:
+        if s.get("label") == "ORG" and s["text"] not in groups:
+            groups[s["text"]] = len(groups)
+    return groups
+
+
 def gate_multi_org(mentions: DataFrame) -> DataFrame:
     """num_orgs > 1 Catalyst filter (src/relation_extraction/infer.py:250-251)."""
     return mentions.filter(F.col("num_orgs") > 1)

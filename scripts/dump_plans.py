@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Dump formatted physical plans of the headline queries to PLANS.md so the
+optimization claims (pushdown, pruning, broadcast, map-side combine, salted
+two-phase aggregation) are inspectable without running anything."""
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from finance_sc_relations_spark.session import build_session  # noqa: E402
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+SHOW = [
+    "supply_edges", "pricing_summary", "filtered_scan_isin",
+    "anti_join_incremental", "topk_window", "skewed_user_agg",
+    "clean_text", "word_jaccard_pairs", "embedding_near_dups",
+]
+
+
+def main() -> None:
+    spark = build_session(master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    out = ["# Physical plans of headline queries (sf0.01, AQE on)\n"]
+    for name in SHOW:
+        df = qs[name](spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        out.append(f"## {name}\n\n```\n{plan}```\n")
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print(f"wrote PLANS.md ({len(SHOW)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
