@@ -26,6 +26,24 @@ from ..functions.text_clean import clean_text_col
 SENTENCE_SPLIT_REGEX = "(?<=[.!?])\\s+"
 
 
+def html_to_text_col(html_col: Column | str) -> Column:
+    """Fallback html -> text extraction, fully JVM-side: strip script/style
+    blocks, drop tags, unescape the common entities, collapse whitespace.
+
+    The corpus normally arrives with `text` pre-extracted (BASELINE.json
+    input_hint); this covers rows where only `html` is populated. A real
+    crawl pipeline would use a proper extractor (trafilatura/jusText) as a
+    pandas UDF — this keeps the cheap path JVM-side."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    s = c.cast("string")
+    s = F.regexp_replace(s, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    s = F.regexp_replace(s, "(?s)<[^>]+>", " ")
+    for ent, rep in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")]:
+        s = F.regexp_replace(s, ent, rep)
+    return F.trim(F.regexp_replace(s, "\\s+", " "))
+
+
 def segment_sentences(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> sentences(url, sentence_id,
     sent_index, sentence, lang).
@@ -37,10 +55,17 @@ def segment_sentences(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     df = pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
+    # Fall back to html extraction when `text` is null/empty (still JVM-side)
+    if "html" in df.columns:
+        text = F.when(
+            F.col("text").isNotNull() & (F.length("text") > 0), F.col("text")
+        ).otherwise(html_to_text_col("html"))
+    else:
+        text = F.col("text")
     cleaned = df.select(
         "url",
         "lang",
-        clean_text_col("text").alias("clean_text"),
+        clean_text_col(text).alias("clean_text"),
     )
     sentences = cleaned.select(
         "url",

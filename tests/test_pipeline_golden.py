@@ -92,3 +92,25 @@ def test_deterministic_rerun(spark, fixture_corpus):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_html_fallback_extraction(spark):
+    """Rows with null text fall back to JVM-side html extraction."""
+    import pandas as pd
+    from datetime import datetime, timezone
+    from finance_sc_relations_spark.fixtures import company_universe
+    from finance_sc_relations_spark.plans.pipeline import run_pipeline
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    html = (b"<html><head><style>p{color:red}</style></head><body>"
+            b"<p>Sonexa Inc supplies components to Veltrix Systems Inc.</p>"
+            b"<script>var x=1;</script></body></html>")
+    pages = spark.createDataFrame(
+        pd.DataFrame([dict(url="h1", warc_ts=ts, html=html, text=None, lang="en")])
+    )
+    cd = spark.createDataFrame(company_universe())
+    out = run_pipeline(spark, pages, cd)
+    rows = out["linked_triples"].collect()
+    assert len(rows) == 1
+    assert rows[0]["subj_surface"] == "Sonexa Inc"
+    assert rows[0]["obj_surface"] == "Veltrix Systems Inc"
