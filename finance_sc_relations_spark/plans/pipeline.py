@@ -50,6 +50,9 @@ class PipelineConfig:
     # alias-edge path; triples feeds both surface linking and edge building).
     # Without this Spark recomputes the whole extraction subtree per branch.
     persist_intermediate: bool = True
+    # Fuse tagging+scoring into one Arrow pass (tagged strings never cross
+    # the JVM boundary). False exposes the `pairs` intermediate for debugging.
+    fuse_extraction: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -91,15 +94,29 @@ def run_pipeline(
         gated = multi_org
     # Only the columns the tagging UDF consumes cross the Arrow boundary.
     pair_input = gated.select("url", "sentence_id", "sentence", "org_groups")
-    pairs = generate_tagged_pairs(pair_input, num_positions=cfg.num_positions)
-    classified = classify_pairs(
-        pairs.select(
-            "url", "sentence_id", "r_id", "sents", "entity1", "entity2", "org_groups"
-        ),
-        mutate=cfg.mutate,
-        reverse=cfg.reverse,
-        model_partitions=cfg.model_partitions,
-    )
+    if cfg.fuse_extraction:
+        from ..operators.extract_fused import tag_and_score
+        from ..operators.re_classifier import aggregate_positions
+
+        pairs = None
+        scored = tag_and_score(
+            pair_input,
+            num_positions=cfg.num_positions,
+            mutate=cfg.mutate,
+            reverse=cfg.reverse,
+        )
+        classified = aggregate_positions(scored)
+    else:
+        pairs = generate_tagged_pairs(pair_input, num_positions=cfg.num_positions)
+        classified = classify_pairs(
+            pairs.select(
+                "url", "sentence_id", "r_id", "sents", "entity1", "entity2",
+                "org_groups",
+            ),
+            mutate=cfg.mutate,
+            reverse=cfg.reverse,
+            model_partitions=cfg.model_partitions,
+        )
     triples = emit_triples(classified, score_threshold=cfg.score_threshold)
     if cfg.persist_intermediate:
         triples = triples.persist(StorageLevel.MEMORY_AND_DISK)

@@ -105,6 +105,27 @@ class TableCatalog:
         p = Path(self._path(table))
         return p.exists() and any(p.rglob("*.parquet"))
 
+    # -- bucketed tables (co-located joins) -----------------------------------
+
+    def write_bucketed(
+        self, df: DataFrame, table: str, bucket_col: str, n_buckets: int = 16
+    ) -> None:
+        """Bucket + sort by the join key so later equi-joins on that key are
+        planned WITHOUT a shuffle on either side (SortMergeJoin reads
+        co-located buckets). This is the parquet-table form; Iceberg's
+        bucket(n, col) partition transform is the catalog form."""
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", self._path(table))
+            .saveAsTable(table)
+        )
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read a saveAsTable-registered (possibly bucketed) table."""
+        return self.spark.read.table(table)
+
     # -- incremental ingest (S8) ---------------------------------------------
 
     def incremental_ingest(

@@ -98,3 +98,23 @@ def test_stream_extract_triples_end_to_end(spark, tmp_path):
     ).start()
     q2.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange on
+    either side (co-located join; SURVEY §4 bucketing)."""
+    from finance_sc_relations_spark.sources.catalog import TableCatalog
+
+    cat = TableCatalog(spark, tmp_path / "whb")
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = spark.range(0, 1000).withColumnRenamed("id", "k")
+    cat.write_bucketed(a, "bucketed_a", "k", n_buckets=8)
+    cat.write_bucketed(b, "bucketed_b", "k", n_buckets=8)
+    joined = cat.read_table("bucketed_a").join(cat.read_table("bucketed_b"), "k")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert joined.count() == 1000
+    assert "+- Exchange" not in plan  # bucketed scan feeds the join directly
+    spark.sql("DROP TABLE IF EXISTS bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS bucketed_b")

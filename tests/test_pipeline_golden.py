@@ -114,3 +114,21 @@ def test_html_fallback_extraction(spark):
     assert len(rows) == 1
     assert rows[0]["subj_surface"] == "Sonexa Inc"
     assert rows[0]["obj_surface"] == "Veltrix Systems Inc"
+
+
+def test_fused_equals_unfused_extraction(spark, fixture_corpus):
+    """The fused tagging+scoring path must be semantically identical to the
+    composable two-stage path."""
+    from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    pages_pdf, _, companies_pdf = fixture_corpus
+    pages = spark.createDataFrame(pages_pdf.head(80))
+    cd = spark.createDataFrame(companies_pdf)
+    key = ["sentence_id", "r_id", "subj_id", "obj_id", "score"]
+    a = run_pipeline(spark, pages, cd, PipelineConfig(fuse_extraction=True))[
+        "linked_triples"].toPandas()
+    b = run_pipeline(spark, pages, cd, PipelineConfig(fuse_extraction=False))[
+        "linked_triples"].toPandas()
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
