@@ -304,6 +304,59 @@ GROUP BY 1
 """
 
 
+def _q_co_supply_pairs(spark, sf_dir):
+    """Graph analytics over the materialized edge table: supplier pairs
+    sharing >= 170 common customers (edge self-join on the customer node —
+    the motif-query shape of k-hop traversals)."""
+    edges = _supply_edges(spark, sf_dir).select("subj_id", "obj_id")
+    a = edges.select(F.col("subj_id").alias("s_a"), "obj_id")
+    b = edges.select(F.col("subj_id").alias("s_b"), "obj_id")
+    return (
+        a.join(b, "obj_id")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count("*").alias("common_customers"))
+        .filter(F.col("common_customers") >= 170)
+    )
+
+
+_CO_SUPPLY_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l.l_suppkey AS subj_id, o.o_custkey AS obj_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT a.subj_id AS s_a, b.subj_id AS s_b, count(*) AS common_customers
+FROM edges a JOIN edges b ON a.obj_id = b.obj_id AND a.subj_id < b.subj_id
+GROUP BY 1, 2
+HAVING count(*) >= 170
+"""
+
+
+def _q_vertex_degrees(spark, sf_dir):
+    """Graph profile: in/out degree per entity over the edge table."""
+    from finance_sc_relations_spark.operators.graph import vertex_degrees
+
+    edges = _supply_edges(spark, sf_dir).select("subj_id", "obj_id")
+    return vertex_degrees(edges)
+
+
+_VERTEX_DEGREES_SQL = """
+WITH edges AS (
+  SELECT l.l_suppkey AS subj_id, o.o_custkey AS obj_id, count(*) AS n
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+outs AS (SELECT subj_id AS entity_id, count(*) AS out_degree FROM edges GROUP BY 1),
+ins  AS (SELECT obj_id  AS entity_id, count(*) AS in_degree  FROM edges GROUP BY 1)
+SELECT COALESCE(outs.entity_id, ins.entity_id) AS entity_id,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM outs FULL OUTER JOIN ins ON outs.entity_id = ins.entity_id
+"""
+
+
 def _q_sql_interface(spark, sf_dir):
     """S2: the SQL surface — the same engine through spark.sql over
     registered views (the Athena-source analog, glue_etl.py:824-886)."""
@@ -635,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_set": _q_union_set,
         "explode_tokens": _q_explode_tokens,
         "region_revenue": _q_region_revenue,
+        "co_supply_pairs": _q_co_supply_pairs,
+        "vertex_degrees": _q_vertex_degrees,
         "sql_interface": _q_sql_interface,
         "events_daily": _q_events_daily,
         "skewed_user_agg": _q_skewed_user_agg,
@@ -668,6 +723,8 @@ def oracle_sql() -> dict[str, str]:
         "union_set": _UNION_SQL,
         "explode_tokens": _EXPLODE_SQL,
         "region_revenue": _REGION_REVENUE_SQL,
+        "co_supply_pairs": _CO_SUPPLY_SQL,
+        "vertex_degrees": _VERTEX_DEGREES_SQL,
         "sql_interface": _SQL_INTERFACE_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
         "skewed_user_agg": _SKEWED_USER_SQL,

@@ -158,6 +158,50 @@ def build_vertices(
     )
 
 
+def k_hop_paths(edges: DataFrame, k: int = 2, max_paths_per_hop: int | None = None) -> DataFrame:
+    """k-hop reachability over the (subj_id, obj_id) edge table by iterated
+    self-join: (a supplies b) x (b supplies c) -> a reaches c in 2 hops.
+
+    Each hop is one equi-join shuffle on the chain head; at corpus scale
+    hot intermediate nodes fan out multiplicatively, so AQE skew-join plus
+    an optional per-hop cap bound the blow-up (the GraphFrames motif-query
+    analog without the GraphFrames dependency)."""
+    paths = edges.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    ).distinct().withColumn("hops", F.lit(1))
+    step = edges.select(
+        F.col("subj_id").alias("dst"), F.col("obj_id").alias("nxt")
+    ).distinct()
+    for _ in range(k - 1):
+        paths = (
+            paths.join(step, "dst")
+            .filter(F.col("src") != F.col("nxt"))
+            .select("src", F.col("nxt").alias("dst"), (F.col("hops") + 1).alias("hops"))
+            .distinct()
+        )
+        if max_paths_per_hop:
+            paths = paths.limit(max_paths_per_hop)
+    return paths
+
+
+def vertex_degrees(edges: DataFrame) -> DataFrame:
+    """Per-entity in/out degree over the edge table (graph profile stats)."""
+    out_d = edges.groupBy(F.col("subj_id").alias("entity_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("obj_id").alias("entity_id")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "entity_id", "full_outer")
+        .select(
+            "entity_id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
 def build_alias_edges(mentions: DataFrame) -> DataFrame:
     """Alias edge table: one row per (url, alias, target) discovered by the
     alias matcher (L11, reporter.py:359-384)."""

@@ -88,3 +88,17 @@ def test_pipeline_links_unknown_company_via_pattern_tier(spark):
     r = rows[0]
     assert r["subj_id"].startswith("SF:zorblatt")
     assert r["obj_id"].startswith("LEI")
+
+
+def test_k_hop_paths(spark):
+    from finance_sc_relations_spark.operators.graph import k_hop_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "subj_id string, obj_id string",
+    )
+    two = {(r.src, r.dst) for r in k_hop_paths(edges, k=2).collect()}
+    assert ("a", "c") in two and ("b", "d") in two
+    assert ("a", "d") not in two  # that's 3 hops
+    three = {(r.src, r.dst) for r in k_hop_paths(edges, k=3).collect()}
+    assert ("a", "d") in three
