@@ -213,6 +213,14 @@ deterministic seed 42) run at two parallelism levels in fresh JVMs.
 - scaling efficiency: **{efficiency:.3f}** (target >= 0.8)
 - triples extracted: {hi['n_triples']}
 
+Reference comparison (BASELINE.md): the reference's measured single-node RE
+inference throughput is ~330 pairs/s on one GPU (stages.ipynb cell 47 logs);
+this engine's full pipeline (segment -> NER -> gate -> tag -> score both
+directions -> aggregate -> link) sustains {hi['triples_per_sec']} triples/s
+on {n_hi} CPU cores ({lo['triples_per_sec']} on {n_lo}), with deterministic
+scorers standing in for the transformer heads behind the same BatchModel
+interface.
+
 Methodology: identical physical plan at both levels (fixed shuffle/model
 partition count), fresh JVM per run, warm-up pass excluded from the timer.
 {n_lo} and {n_hi} slots both sit within this box's ~16 physical cores — a raw
