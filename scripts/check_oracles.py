@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate: run every queries() entry
+on sf0.01 and compare against its oracle_sql() through DuckDB (row count,
+column names, exact values; floats compared exactly after engine-side
+rounding). Usage: python scripts/check_oracles.py [query ...]"""
+import sys, traceback
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+import duckdb, pandas as pd, numpy as np
+import __spark_entry__ as E
+from finance_sc_relations_spark.session import build_session
+
+SF = "/root/testdata/sf0.01"
+spark = build_session(master="local[8]")
+spark.sparkContext.setLogLevel("ERROR")
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+def norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+qs, oracles = E.queries(), E.oracle_sql()
+only = sys.argv[1:] or None
+for name, fn in qs.items():
+    if only and name not in only: continue
+    try:
+        sdf = fn(spark, SF)
+        spdf = sdf.toPandas()
+        if name not in oracles:
+            print(f"{name:24s} ROWS_ONLY rows={len(spdf)}")
+            continue
+        odf = con.execute(oracles[name]).df()
+        a, b = norm(spdf), norm(odf)
+        if len(a) != len(b):
+            print(f"{name:24s} ROWCOUNT MISMATCH spark={len(a)} oracle={len(b)}")
+            continue
+        if list(a.columns) != list(b.columns):
+            print(f"{name:24s} SCHEMA MISMATCH {list(a.columns)} vs {list(b.columns)}")
+            continue
+        mismatch = None
+        for c in a.columns:
+            av, bv = a[c].values, b[c].values
+            if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+                if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True):
+                    mismatch = c; break
+                if not (av.astype(float) == bv.astype(float)).all():
+                    mismatch = c + " (EXACT-DIFF but close)"; break
+            else:
+                if not (av == bv).all():
+                    mismatch = c; break
+        print(f"{name:24s} {'OK rows=' + str(len(a)) if not mismatch else 'VALUE MISMATCH col=' + mismatch}")
+        if mismatch:
+            for c in [mismatch.split(' ')[0]]:
+                diff = a[c] != b[c]
+                print(a[diff].head(3)); print(b[diff].head(3))
+    except Exception as ex:
+        print(f"{name:24s} ERROR {type(ex).__name__}: {ex}")
+        traceback.print_exc(limit=3)
+spark.stop()
