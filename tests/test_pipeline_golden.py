@@ -132,3 +132,26 @@ def test_fused_equals_unfused_extraction(spark, fixture_corpus):
     assert sorted(map(tuple, a[key].values.tolist())) == sorted(
         map(tuple, b[key].values.tolist())
     )
+
+
+def test_standalone_sc_classifier_matches_fused(spark, fixture_corpus):
+    """The composable sc_classify operator and the fused with_sc NER pass
+    agree on every sentence."""
+    from finance_sc_relations_spark.operators.ner import detect_mentions
+    from finance_sc_relations_spark.operators.sc_classifier import sc_classify
+    from finance_sc_relations_spark.operators.segment import segment_sentences
+    from finance_sc_relations_spark.fixtures import company_universe
+
+    pages_pdf, _, _ = fixture_corpus
+    pages = spark.createDataFrame(pages_pdf.head(40))
+    cd = company_universe()
+    sent = segment_sentences(pages)
+    fused = detect_mentions(sent, cd, include_spans=False, with_sc=True)
+    standalone = sc_classify(
+        detect_mentions(sent, cd, include_spans=False, with_sc=False)
+    )
+    a = {r["sentence_id"]: (r["sc_label"], round(r["sc_score"], 5))
+         for r in fused.select("sentence_id", "sc_label", "sc_score").collect()}
+    b = {r["sentence_id"]: (r["sc_label"], round(r["sc_score"], 5))
+         for r in standalone.select("sentence_id", "sc_label", "sc_score").collect()}
+    assert a == b
