@@ -619,6 +619,16 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return S.lsh_topk(emb, queries, dim=64, k=5, bands=16, bits_per_band=4)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN top-k (faiss IndexIVF analog; recall-vs-brute checked in
+    tests/test_dedup_simsearch.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4)
+
+
 def _q_lang_id(spark, sf_dir):
     """Heuristic n-gram language-ID (no SQL oracle — model-like stage)."""
     return T.lang_id(_t(spark, sf_dir, "documents")).select(
@@ -704,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "lang_id": _q_lang_id,
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,

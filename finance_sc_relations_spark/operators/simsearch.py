@@ -129,6 +129,121 @@ def lsh_signatures(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    sample_fraction: float = 1.0,
+    iterations: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means centroids for IVF cells (the FAISS IndexIVF
+    analog, src/matcher/core.py:266-292): Lloyd iterations over a driver-side
+    sample. At 10^12 scale the sample stays bounded (sample_fraction) and
+    the centroid count follows faiss's ~sqrt(n) guidance."""
+    sample = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float32)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iterations):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    return centroids
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, n_probe: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """(id, cell) rows — top-n_probe nearest centroids per vector."""
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("cell", IntegerType(), False),
+        ]
+    )
+    bc_c = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc_c.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float32)
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            sims = vecs @ cents.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            ids = batch[id_col].astype("int64").to_numpy()
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_probe),
+                    "cell": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(_map, schema=schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in their single nearest cell; queries
+    probe their n_probe nearest cells; candidates meet on the cell key and
+    rerank by exact cosine. Recall grows with n_probe; the shuffle key is
+    the cell id (bounded cardinality, AQE-coalesced)."""
+    centroids = train_ivf_centroids(corpus, dim, n_cells, seed=seed, vec_col=vec_col)
+    c_cells = _assign_cells(corpus, centroids, 1, id_col, vec_col).withColumnRenamed(
+        "id", "vec_id"
+    )
+    q_cells = _assign_cells(queries, centroids, n_probe, query_id_col, vec_col)
+    q_cells = q_cells.withColumnRenamed("id", "query_id")
+    cand = (
+        c_cells.join(q_cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+        _norm(vec_col).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        _norm(vec_col).alias("qnorm"),
+    )
+    scored = (
+        cand.join(c, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(_dot("cvec", "qvec") / (F.col("cnorm") * F.col("qnorm")), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -149,3 +149,23 @@ def test_quality_and_token_stats(spark):
     assert out.loc[1, "n_tokens"] == 10  # 9 words + final period
     assert out.loc[1, "quality"] > out.loc[2, "quality"]
     assert out.loc[2, "punct_ratio"] > 0.5
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = S.brute_force_topk(embeddings, queries, k=5).toPandas()
+    ivf = S.ivf_topk(
+        embeddings, queries, dim=16, k=5, n_cells=8, n_probe=4
+    ).toPandas()
+    hits, total = 0, 0
+    for q in range(8):
+        b = set(brute[brute.query_id == q]["vec_id"])
+        a = set(ivf[ivf.query_id == q]["vec_id"])
+        hits += len(a & b)
+        total += len(b)
+    assert hits / total >= 0.6
+    # the planted near-dup of vec 0 must be found at rank 1
+    top0 = ivf[(ivf.query_id == 0) & (ivf["rank"] == 1)]
+    assert top0.iloc[0]["vec_id"] == 50
