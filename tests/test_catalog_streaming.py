@@ -118,3 +118,40 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert "+- Exchange" not in plan  # bucketed scan feeds the join directly
     spark.sql("DROP TABLE IF EXISTS bucketed_a")
     spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: a fingerprint arriving in a
+    later micro-batch is suppressed by state."""
+    import pandas as pd
+    from finance_sc_relations_spark.streaming.stateful_dedup import (
+        streaming_exact_dedup,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["alpha text", "beta text"]}).to_parquet(
+        src / "b0.parquet", index=False
+    )
+    pd.DataFrame({"doc_id": [3, 4], "text": ["alpha text", "gamma text"]}).to_parquet(
+        src / "b1.parquet", index=False
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_state_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM dedup_state_test").toPandas()
+    # 'alpha text' emitted exactly once, for its first doc_id
+    assert len(got) == 3
+    assert set(got["doc_id"]) == {1, 2, 4} or set(got["doc_id"]) == {2, 3, 4}
