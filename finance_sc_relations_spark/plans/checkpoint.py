@@ -178,6 +178,17 @@ def run_pipeline_checkpointed(
     ckpt = CheckpointManager(spark, checkpoint_root, run_id=run_id)
     fp = f"{pages_path}|{company_dict_path}|{cfg!r}"
 
+    def _rows(stage: str) -> int:
+        """Completed stage's output_rows from its manifest (feeds the next
+        stage's input_rows lineage column)."""
+        mp = ckpt._manifest_path(stage)
+        if mp.exists():
+            try:
+                return int(json.loads(mp.read_text()).get("output_rows", -1))
+            except (OSError, json.JSONDecodeError, ValueError):
+                return -1
+        return -1
+
     pages = spark.read.parquet(pages_path)
     company_dict = spark.read.parquet(company_dict_path)
     company_pdf = company_dict.select(
@@ -197,6 +208,7 @@ def run_pipeline_checkpointed(
             sentences, company_pdf, include_spans=False, with_sc=cfg.use_sc_gate
         ),
         fp,
+        input_rows=_rows("sentences"),
     )
     gated = gate_multi_org(mentions)
     if cfg.use_sc_gate:
@@ -208,6 +220,7 @@ def run_pipeline_checkpointed(
             num_positions=cfg.num_positions,
         ),
         fp,
+        input_rows=_rows("mentions"),
     )
     classified = ckpt.run_stage(
         "classified",
@@ -220,9 +233,11 @@ def run_pipeline_checkpointed(
             reverse=cfg.reverse,
         ),
         fp,
+        input_rows=_rows("pairs"),
     )
     triples = ckpt.run_stage(
-        "triples", lambda: emit_triples(classified, cfg.score_threshold), fp
+        "triples", lambda: emit_triples(classified, cfg.score_threshold), fp,
+        input_rows=_rows("classified"),
     )
 
     def _linked():
@@ -241,8 +256,13 @@ def run_pipeline_checkpointed(
         )
         return link_triples(triples, s2e.select("surface", "entity_id"))
 
-    linked = ckpt.run_stage("linked_triples", _linked, fp)
-    edges = ckpt.run_stage("edges", lambda: build_edges(linked), fp)
+    linked = ckpt.run_stage(
+        "linked_triples", _linked, fp, input_rows=_rows("triples")
+    )
+    edges = ckpt.run_stage(
+        "edges", lambda: build_edges(linked), fp,
+        input_rows=_rows("linked_triples"),
+    )
     return dict(
         sentences=sentences, mentions=mentions, pairs=pairs,
         classified=classified, triples=triples, linked_triples=linked,
