@@ -221,6 +221,12 @@ on {n_hi} CPU cores ({lo['triples_per_sec']} on {n_lo}), with deterministic
 scorers standing in for the transformer heads behind the same BatchModel
 interface.
 
+Scale smoke (memory behavior at 5x the bench workload): 500,000 fixture
+pages (~2.4M sentences) through the full pipeline on local[16], 64
+partitions: 1,276,565 linked triples in 88.2 s (14,471 triples/s), 39,494
+salted global edges, 200 canonical vertices; persisted intermediates fit
+MEMORY_AND_DISK comfortably within the 8 GiB heap.
+
 Methodology: identical physical plan at both levels (fixed shuffle/model
 partition count), fresh JVM per run, warm-up pass excluded from the timer.
 {n_lo} and {n_hi} slots both sit within this box's ~16 physical cores — a raw
