@@ -229,10 +229,10 @@ MEMORY_AND_DISK comfortably within the 8 GiB heap.
 
 Methodology: identical physical plan at both levels (fixed shuffle/model
 partition count), fresh JVM per run, warm-up pass excluded from the timer.
-{n_lo} and {n_hi} slots both sit within this box's ~16 physical cores — a raw
-multiprocessing probe shows the 16..32 vCPU range is hyperthread-shared
-(8->32 procs = 2.2x ceiling), so measuring across it would benchmark SMT, not
-the engine. Single-machine local mode shares one JVM heap and page cache, so
+{n_lo} and {n_hi} slots sit well inside this VM's 32 vCPUs; a raw
+multiprocessing probe shows aggregate throughput is host-throttled beyond
+~16 concurrent CPUs (8->32 procs = 2.2x), so measuring across that range
+would benchmark the hypervisor's CPU cap, not the engine. Single-machine local mode shares one JVM heap and page cache, so
 this still under-reports true multi-executor scaling; the partitioning
 strategy (Arrow-batched mapInPandas stages + salted aggregations) is the same
 one that runs on a real cluster.
