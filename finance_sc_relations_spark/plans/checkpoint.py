@@ -54,11 +54,17 @@ class CheckpointManager:
         return self.root / stage / "_MANIFEST.json"
 
     def write_lineage(self, stage: str, input_rows: int, output_rows: int,
-                      dropped_invalid: int, wall_ms: int, n_partitions: int) -> None:
+                      dropped_invalid: int, wall_ms: int,
+                      partition_counts: dict[int, int] | None = None) -> None:
+        """One lineage row per output partition. partition_counts maps
+        partition_id -> that partition's actual output row count (the
+        per-partition metrics the north rule requires); input_rows/wall_ms
+        are stage-level and repeated on each row for self-contained reads."""
+        parts = partition_counts or {0: output_rows}
         rows = [
-            (self.run_id, stage, p, int(input_rows), int(output_rows),
+            (self.run_id, stage, int(p), int(input_rows), int(n),
              int(dropped_invalid), int(wall_ms))
-            for p in range(max(n_partitions, 1))
+            for p, n in sorted(parts.items())
         ]
         df = self.spark.createDataFrame(
             rows,
@@ -117,20 +123,24 @@ class CheckpointManager:
         df = df_fn()
         df.write.mode("overwrite").parquet(str(tmp_dir))
         out = self.spark.read.parquet(str(tmp_dir))
-        output_rows = out.count()
+        # real per-partition output counts (single scan, map-side combine)
+        pc_rows = (
+            out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
+        partition_counts = {int(r["pid"]): int(r["count"]) for r in pc_rows}
+        output_rows = sum(partition_counts.values())
         wall_ms = int((time.perf_counter() - t0) * 1000)
 
         if data_dir.exists():
             shutil.rmtree(data_dir)
         tmp_dir.rename(data_dir)
-        n_part = out.rdd.getNumPartitions()
         self.write_lineage(
             stage,
             input_rows if input_rows is not None else -1,
             output_rows,
             0,
             wall_ms,
-            n_part,
+            partition_counts,
         )
         self._manifest_path(stage).write_text(
             json.dumps(

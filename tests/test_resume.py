@@ -94,3 +94,12 @@ def test_fingerprint_change_invalidates(spark, fixture_paths, tmp_path):
         input_fingerprint="b",
     )
     assert df3.count() == 9
+
+
+def test_lineage_partition_counts_sum_to_output(spark, fixture_paths, tmp_path):
+    pages_path, cd_path = fixture_paths
+    out = run_pipeline_checkpointed(spark, pages_path, cd_path, tmp_path / "c2")
+    lineage = out["checkpoint"].lineage().toPandas()
+    triples_rows = lineage[lineage.stage == "triples"]
+    assert triples_rows["output_rows"].sum() == out["triples"].count()
+    assert triples_rows["partition_id"].nunique() == len(triples_rows)
