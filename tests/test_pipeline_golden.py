@@ -155,3 +155,33 @@ def test_standalone_sc_classifier_matches_fused(spark, fixture_corpus):
     b = {r["sentence_id"]: (r["sc_label"], round(r["sc_score"], 5))
          for r in standalone.select("sentence_id", "sc_label", "sc_score").collect()}
     assert a == b
+
+
+def test_extreme_skew_salted_aggregation(spark):
+    """90% of pages mention the same hot pair: the salted two-phase global
+    rollup must still produce exact counts and scores (north-rule skew
+    requirement)."""
+    import pandas as pd
+    from datetime import datetime, timezone
+    from pyspark.sql import functions as F
+    from finance_sc_relations_spark.fixtures import company_universe
+    from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for i in range(300):
+        if i % 10 != 0:  # 90% hot pair
+            text = "Quantrix Semiconductors Corporation supplies components to Borealis Logistics Group."
+        else:
+            text = f"Sonexa Inc supplies components to Veltrix Systems Inc."
+        rows.append(dict(url=f"u{i}", warc_ts=ts, html=b"", text=text, lang="en"))
+    pages = spark.createDataFrame(pd.DataFrame(rows))
+    cd = spark.createDataFrame(company_universe())
+    out = run_pipeline(spark, pages, cd, PipelineConfig(salt_buckets=8))
+    g = out["edges_global"].toPandas().set_index(["subj_id", "obj_id"])
+    # hot pair: 270 evidence rows aggregated exactly despite salting
+    hot = g[g.n_evidence == 270]
+    assert len(hot) == 1
+    assert hot.iloc[0]["score"] == pytest.approx(270 * 0.97, rel=1e-6)
+    cold = g[g.n_evidence == 30]
+    assert len(cold) == 1
