@@ -342,3 +342,56 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH candidates
+    (any shared band bucket) verified by exact cosine — candidates only meet
+    inside buckets, never a cross join. Near-identical vectors share all
+    buckets with probability ~1, so recall at high thresholds is ~1 while
+    candidate count stays near-linear."""
+    from .simsearch import lsh_signatures
+
+    sig = lsh_signatures(embeddings, dim, bands, bits_per_band, seed, id_col, vec_col)
+    a = sig.withColumnRenamed("id", "id_a")
+    b = sig.withColumnRenamed("id", "id_b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm.alias("nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    verified = (
+        cand.join(
+            e.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                     F.col("nrm").alias("na")), "id_a")
+        .join(
+            e.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                     F.col("nrm").alias("nb")), "id_b")
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+    )
+    return verified.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -169,3 +169,16 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
     # the planted near-dup of vec 0 must be found at rank 1
     top0 = ivf[(ivf.query_id == 0) & (ivf["rank"] == 1)]
     assert top0.iloc[0]["vec_id"] == 50
+
+
+def test_embedding_near_dup_lsh_finds_planted(spark, embeddings):
+    got = D.embedding_near_dup_pairs_lsh(
+        embeddings, dim=16, threshold=0.99, bands=16, bits_per_band=2
+    ).toPandas()
+    found = {(r.id_a, r.id_b) for r in got.itertuples(index=False)}
+    assert (0, 50) in found
+    # every LSH-verified pair is also in the exact tier (no false positives
+    # survive verification)
+    exact = D.embedding_near_dup_pairs(embeddings, threshold=0.99).toPandas()
+    exact_set = {(r.id_a, r.id_b) for r in exact.itertuples(index=False)}
+    assert found <= exact_set
