@@ -77,7 +77,7 @@ _SUPPLY_EDGES_SQL = """
 SELECT l.l_suppkey AS subj_id,
        o.o_custkey AS obj_id,
        count(*) AS n_items,
-       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS edge_weight_cents
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS edge_weight_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -119,9 +119,9 @@ def _q_pricing_summary(spark, sf_dir):
 
 _PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS sum_disc_bp,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -144,7 +144,7 @@ def _q_filtered_scan_isin(spark, sf_dir):
 
 _FILTERED_SCAN_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY 1
@@ -179,7 +179,7 @@ def _q_topk_window(spark, sf_dir):
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("c_mktsegment", "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents"), "rank")
     )
@@ -211,7 +211,7 @@ def _q_argmax_per_group(spark, sf_dir):
 
 
 _ARGMAX_SQL = """
-SELECT o_custkey, top_priority, max_spend FROM (
+SELECT o_custkey, top_priority, CAST(max_spend AS BIGINT) AS max_spend FROM (
   SELECT o_custkey, o_orderpriority AS top_priority,
          max(spend) OVER (PARTITION BY o_custkey) AS max_spend,
          row_number() OVER (PARTITION BY o_custkey
@@ -295,7 +295,7 @@ def _q_region_revenue(spark, sf_dir):
 
 _REGION_REVENUE_SQL = """
 SELECT r_name,
-       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -366,7 +366,7 @@ def _q_sql_interface(spark, sf_dir):
         """
         SELECT p.p_brand,
                count(*) AS n_items,
-               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_size >= 25
         GROUP BY p.p_brand
@@ -377,7 +377,7 @@ def _q_sql_interface(spark, sf_dir):
 _SQL_INTERFACE_SQL = """
 SELECT p.p_brand,
        count(*) AS n_items,
-       sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_size >= 25
 GROUP BY p.p_brand
@@ -390,7 +390,9 @@ def _q_events_daily(spark, sf_dir):
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
-            F.date_trunc("day", F.col("ts")).alias("day"),
+            # emitted as 'yyyy-MM-dd' string: timestamp unit (ns vs us) differs
+            # between Spark-pandas and DuckDB-pandas and breaks the value hash
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
             F.col("event_type"),
         )
         .agg(
@@ -401,8 +403,8 @@ def _q_events_daily(spark, sf_dir):
 
 
 _EVENTS_DAILY_SQL = """
-SELECT date_trunc('day', ts) AS day, event_type,
-       count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -423,7 +425,7 @@ def _q_skewed_user_agg(spark, sf_dir):
 
 _SKEWED_USER_SQL = """
 SELECT user_id, count(*) AS n_events,
-       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1
 """
 
@@ -472,7 +474,10 @@ WHERE length(trim(regexp_replace(text, '[-[\] ]+', ' ', 'g'))) > 0
 def _q_token_stats(spark, sf_dir):
     """Token counting + quality scoring (JVM-side expressions)."""
     return T.text_stats(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", "n_ws_tokens", "punct_ratio"
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        "punct_ratio",
     )
 
 
@@ -592,7 +597,7 @@ def _q_ann_brute_topk(spark, sf_dir):
     return topk.select(
         "query_id", "vec_id",
         F.round(F.col("cosine") * 10000).cast("long").alias("cosine_bp"),
-        "rank",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

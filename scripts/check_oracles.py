@@ -18,11 +18,12 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 def norm(df):
+    # Column-sort + row-sort only. NO dtype coercion: the driver's value hash
+    # sees dtype differences (DuckDB HUGEINT -> float64/object, DATE vs
+    # datetime64), so any coercion here hides real hash failures (r01 lesson).
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    sort_cols = [c for c in df.columns if df[c].dtype != object or df[c].map(lambda v: isinstance(v, (str, type(None)))).all()]
+    return df.sort_values(by=sort_cols or list(df.columns), kind="mergesort").reset_index(drop=True)
 
 qs, oracles = E.queries(), E.oracle_sql()
 only = sys.argv[1:] or None
@@ -42,17 +43,24 @@ for name, fn in qs.items():
         if list(a.columns) != list(b.columns):
             print(f"{name:24s} SCHEMA MISMATCH {list(a.columns)} vs {list(b.columns)}")
             continue
+        dtype_diff = [
+            (c, str(a[c].dtype), str(b[c].dtype))
+            for c in a.columns
+            if str(a[c].dtype) != str(b[c].dtype)
+        ]
+        if dtype_diff:
+            print(f"{name:24s} DTYPE MISMATCH {dtype_diff}")
+            continue
         mismatch = None
         for c in a.columns:
             av, bv = a[c].values, b[c].values
-            if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
-                if not np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True):
-                    mismatch = c; break
-                if not (av.astype(float) == bv.astype(float)).all():
-                    mismatch = c + " (EXACT-DIFF but close)"; break
-            else:
-                if not (av == bv).all():
-                    mismatch = c; break
+            eq = av == bv
+            if hasattr(eq, "all") and not eq.all():
+                if np.issubdtype(a[c].dtype, np.floating):
+                    both_nan = pd.isna(a[c]) & pd.isna(b[c])
+                    if (eq | both_nan.values).all():
+                        continue
+                mismatch = c; break
         print(f"{name:24s} {'OK rows=' + str(len(a)) if not mismatch else 'VALUE MISMATCH col=' + mismatch}")
         if mismatch:
             for c in [mismatch.split(' ')[0]]:
