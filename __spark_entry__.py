@@ -50,14 +50,15 @@ def _cents(col) -> F.Column:
 def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge table (supplier -> customer) weighted by traded revenue: the
     relational twin of the KG pipeline's graph materialize (L9/K1 analog).
-    Joins: lineitem (fact) with broadcast orders->customer and supplier dims;
-    one shuffle for the final groupBy."""
+    Joins: lineitem⋈orders is fact⋈fact — NO broadcast hint (orders grows
+    with the corpus; AQE picks SMJ/shuffled-hash and handles skew). Only the
+    bounded dims (customer, supplier) are broadcast."""
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
     return (
-        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .groupBy(
@@ -567,11 +568,17 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact tier). Cosine is emitted as
-    integer basis points: double last-bit differences between engines would
-    otherwise break the exact value-hash."""
-    pairs = D.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    """Embedding-cosine near-dup pairs via the LSH-bucketed SCALE path
+    (random-hyperplane candidates + exact-cosine verify — never a cross
+    join). The oracle below is the exact all-pairs SQL: at bands=16/bits=4
+    the seed-42 buckets deterministically capture every fixture pair at this
+    threshold (recall checked in tests/test_dedup_simsearch.py; the exact
+    crossJoin tier stays as the differential test only). Cosine is emitted
+    as integer basis points: double last-bit differences between engines
+    would otherwise break the exact value-hash."""
+    pairs = D.embedding_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.45,
+        bands=16, bits_per_band=4,
     )
     return pairs.select(
         "id_a", "id_b",

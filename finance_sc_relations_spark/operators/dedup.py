@@ -71,31 +71,59 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with word-n-gram Jaccard >= threshold.
+    """All (id_a < id_b) pairs with word-n-gram Jaccard >= threshold — EXACT.
 
-    Posting-list self-join: explode distinct n-grams, join on the n-gram,
-    count co-occurrences, Jaccard = co / (|a| + |b| - co). Never materializes
-    a cross join; the shuffle key is the n-gram (long tail, AQE-coalesced)."""
+    Prefix-filtered posting-list join (AllPairs, Bayardo et al. WWW'07):
+    order every doc's grams by ascending global document frequency and keep
+    only the first |x| - ceil(t*|x|) + 1 as join keys. Any pair with
+    J >= t provably shares a prefix gram (its df-smallest common gram lands
+    inside both prefixes), so candidate generation never joins on the
+    high-df head — the stopword-gram quadratic blowup a naive posting join
+    hits on web corpora. Candidates are verified by exact array_intersect,
+    so the result is identical to the naive join (no silent truncation —
+    nothing is dropped, high-df grams still count via the verify step)."""
     grams = docs.select(
         F.col(id_col).alias("id"), _ngram_col(text_col, n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("n_grams").alias("na"), "gram"
+    gram_df = exploded.groupBy("gram").agg(F.count("*").alias("df"))
+    # global canonical order: (df asc, gram asc); rarest grams first
+    from pyspark.sql import Window
+
+    pos_w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    prefix = (
+        exploded.join(gram_df, "gram")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .filter(
+            F.col("pos")
+            <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+        )
+        .select("id", "gram")
     )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("n_grams").alias("nb"), "gram"
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    co = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("co"))
+    ga = grams.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("na"),
     )
-    jac = co.withColumn(
-        "jaccard", F.col("co") / (F.col("na") + F.col("nb") - F.col("co"))
+    gb = grams.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("nb"),
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("co", F.size(F.array_intersect("grams_a", "grams_b")))
+        .withColumn(
+            "jaccard", F.col("co") / (F.col("na") + F.col("nb") - F.col("co"))
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 

@@ -160,21 +160,35 @@ def canonicalize_unmatched(
     The reference only clusters within a document (reporter.py:283-311);
     corpus-level components are the north-rule extension (SURVEY.md §7.4).
 
-    Returns (surface, entity_id) for ALL input surfaces: dictionary matches
-    keep their LEI id, unmatched get 'SF:<min-normalized-form-in-component>'.
+    Returns (surface, entity_id) for ALL input surfaces, one row per surface:
+    dictionary matches keep their LEI id; an unmatched surface whose component
+    contains a dictionary-matched surface inherits that surface's LEI;
+    components with no dictionary anchor get
+    'SF:<min-normalized-form-in-component>'.
     """
     matched = linked.filter(F.col("entity_id").isNotNull()).select(
         "surface", "entity_id"
     )
     unmatched = linked.filter(F.col("entity_id").isNull()).select("surface")
 
-    # label = normalized form initially; components via alias edges
+    # label = struct(pri, val). pri 0 = dictionary LEI, pri 1 = normalized
+    # surface form; F.min over the struct orders field-by-field, so a
+    # dictionary id always beats any SF label within a component.
     labels = unmatched.select(
-        "surface", normalized_name_col("surface").alias("label")
+        "surface",
+        F.struct(
+            F.lit(1).alias("pri"), normalized_name_col("surface").alias("val")
+        ).alias("label"),
     )
     if alias_edges is not None and unmatched.isEmpty():
         alias_edges = None  # nothing to propagate — skip the iteration loop
     if alias_edges is not None:
+        seeds = matched.select(
+            "surface",
+            F.struct(F.lit(0).alias("pri"), F.col("entity_id").alias("val")).alias(
+                "label"
+            ),
+        )
         edges = (
             alias_edges.select(
                 F.col("target").alias("a"), F.col("alias").alias("b")
@@ -183,14 +197,23 @@ def canonicalize_unmatched(
             .distinct()
         )
         for _ in range(max_iterations):
-            neighbor_labels = (
-                edges.join(labels, edges.a == labels.surface, "inner")
+            frontier = seeds.unionByName(labels)
+            neighbor_min = (
+                edges.join(frontier, edges.a == frontier.surface, "inner")
                 .select(F.col("b").alias("surface"), "label")
-            )
-            new_labels = (
-                labels.unionByName(neighbor_labels)
                 .groupBy("surface")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            # LEFT join keyed by the current unmatched label set: propagation
+            # may only RELABEL unmatched surfaces. A matched endpoint must
+            # never re-enter as a new labeled surface or it is emitted twice
+            # (its LEI row + a propagated SF: row) and fans out every
+            # downstream triple join.
+            new_labels = labels.join(neighbor_min, "surface", "left").select(
+                "surface",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
             )
             # convergence check: any label changed?
             changed = (
@@ -203,6 +226,10 @@ def canonicalize_unmatched(
             labels = new_labels.localCheckpoint(eager=True)
             if changed == 0:
                 break
-    return matched.unionByName(
-        labels.select("surface", F.concat(F.lit("SF:"), F.col("label")).alias("entity_id"))
+    resolved = labels.select(
+        "surface",
+        F.when(F.col("label.pri") == 0, F.col("label.val"))
+        .otherwise(F.concat(F.lit("SF:"), F.col("label.val")))
+        .alias("entity_id"),
     )
+    return matched.unionByName(resolved)

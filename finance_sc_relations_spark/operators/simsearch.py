@@ -129,23 +129,35 @@ def lsh_signatures(
     )
 
 
+def _collect_training_sample(
+    corpus: DataFrame, max_sample_rows: int, seed: int, vec_col: str
+) -> np.ndarray:
+    """Driver-side training matrix, hard-bounded at max_sample_rows rows
+    regardless of corpus size (sample to ~the target, then cap exactly)."""
+    sample = corpus.select(vec_col)
+    n = sample.count()
+    if n > max_sample_rows:
+        sample = sample.sample(
+            fraction=min(1.0, 1.05 * max_sample_rows / n), seed=seed
+        ).limit(max_sample_rows)
+    return np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float32)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     dim: int,
     n_cells: int = 16,
-    sample_fraction: float = 1.0,
+    max_sample_rows: int = 100_000,
     iterations: int = 5,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic k-means centroids for IVF cells (the FAISS IndexIVF
     analog, src/matcher/core.py:266-292): Lloyd iterations over a driver-side
-    sample. At 10^12 scale the sample stays bounded (sample_fraction) and
-    the centroid count follows faiss's ~sqrt(n) guidance."""
-    sample = corpus.select(vec_col)
-    if sample_fraction < 1.0:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
-    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float32)
+    sample that is HARD-BOUNDED at max_sample_rows — the driver never
+    materializes the corpus (a 10^12-row toPandas() would OOM instantly).
+    Centroid count follows faiss's ~sqrt(n) guidance."""
+    mat = _collect_training_sample(corpus, max_sample_rows, seed, vec_col)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]

@@ -31,8 +31,25 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         out.append(f"## {name}\n\n```\n{plan}```\n")
+    # supply_edges at scale: with auto-broadcast off (how a 100 TB orders
+    # table would plan), lineitem⋈orders must be a shuffle join — the query
+    # carries NO broadcast hint on the fact side, so Catalyst is free to
+    # choose SMJ here and broadcast at small SF.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    df = qs["supply_edges"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    out.append(
+        "## supply_edges (autoBroadcastJoinThreshold=-1 — the 100 TB shape)\n"
+        "\nFact⋈fact (lineitem⋈orders) plans as a shuffle join because the"
+        " query has no broadcast hint on the fact side; at small SF Catalyst"
+        " auto-broadcasts instead. Dim joins stay broadcast by hint.\n"
+        f"\n```\n{plan}```\n"
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     (REPO / "PLANS.md").write_text("\n".join(out))
-    print(f"wrote PLANS.md ({len(SHOW)} plans)")
+    print(f"wrote PLANS.md ({len(SHOW) + 1} plans)")
     spark.stop()
 
 

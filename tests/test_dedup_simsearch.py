@@ -61,6 +61,33 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs):
                 assert (a, b) not in got_pairs or got_pairs[(a, b)] >= 0.6
 
 
+def test_ngram_jaccard_invariant_under_ultra_common_gram(spark):
+    """Prefix filtering must keep the pair set EXACT even when one gram is
+    shared by every document (the web-corpus stopword-shingle case that makes
+    a naive posting join quadratic): the common gram sorts last in df order,
+    stays out of every prefix, and still counts via array_intersect verify."""
+    rows = []
+    for i in range(60):
+        rows.append((i, f"COMMON shared filler alpha{i} beta{i} gamma{i} delta{i}"))
+    # planted near-dup pair: differs in one trailing word
+    rows.append((200, "COMMON shared filler alpha1 beta1 gamma1 echo"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = D.ngram_jaccard_pairs(docs, n=1, threshold=0.6).toPandas()
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples(index=False)}
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    ids = sorted(pdf.index)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            exact = _exact_jaccard(pdf[a], pdf[b], 1)
+            if exact >= 0.6:
+                expected[(a, b)] = exact
+    assert set(got_pairs) == set(expected)
+    assert (1, 200) in got_pairs
+    for p, j in expected.items():
+        assert abs(got_pairs[p] - j) < 1e-3
+
+
 def test_minhash_finds_planted_dups(spark, docs):
     pairs = D.minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.7).toPandas()
     found = {(r.id_a, r.id_b) for r in pairs.itertuples(index=False)}
@@ -182,3 +209,29 @@ def test_embedding_near_dup_lsh_finds_planted(spark, embeddings):
     exact = D.embedding_near_dup_pairs(embeddings, threshold=0.99).toPandas()
     exact_set = {(r.id_a, r.id_b) for r in exact.itertuples(index=False)}
     assert found <= exact_set
+
+
+def test_embedding_near_dup_lsh_equals_exact_on_testdata(spark):
+    """Driver-entry parameters (bands=16, bits=4, seed 42) deterministically
+    capture EVERY pair at threshold 0.45 on the shared sf0.01 fixture — the
+    LSH scale path and the exact crossJoin tier emit identical pair sets."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = D.embedding_near_dup_pairs(emb, threshold=0.45).toPandas()
+    lsh = D.embedding_near_dup_pairs_lsh(
+        emb, dim=64, threshold=0.45, bands=16, bits_per_band=4
+    ).toPandas()
+    e = {(r.id_a, r.id_b, r.cosine) for r in exact.itertuples(index=False)}
+    l = {(r.id_a, r.id_b, r.cosine) for r in lsh.itertuples(index=False)}
+    assert e == l and len(e) > 0
+
+
+def test_ivf_training_sample_is_driver_bounded(spark, embeddings):
+    """The driver-side k-means training matrix must stay hard-bounded no
+    matter the corpus size (a 10^12-row toPandas would OOM the driver)."""
+    mat = S._collect_training_sample(embeddings, max_sample_rows=20, seed=42,
+                                     vec_col="embedding")
+    assert mat.shape[0] <= 20
+    # and training still yields usable centroids from the bounded sample
+    cents = S.train_ivf_centroids(embeddings, dim=16, n_cells=4,
+                                  max_sample_rows=20)
+    assert cents.shape == (4, 16)

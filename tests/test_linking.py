@@ -65,6 +65,30 @@ def test_connected_components_unify_alias_chain(spark):
     assert s2e["Lonely Startup Inc"] != s2e["Zorblatt"]
 
 
+def test_alias_of_matched_surface_inherits_lei_without_duplicates(spark):
+    """The 'Full Name ("Alias")' pattern: full name is in the dictionary,
+    alias is not. The matched surface must appear exactly once (its LEI row —
+    no propagated SF: duplicate that would fan out downstream triple joins),
+    and the unmatched alias inherits the matched neighbor's LEI."""
+    linked = spark.createDataFrame(
+        [("Acme Corporation", "LEI1", "Acme Corporation", 1.0),
+         ("ACME", None, None, None),
+         ("Unrelated Co", None, None, None)],
+        "surface string, entity_id string, matched_name string, link_score float",
+    )
+    alias_edges = spark.createDataFrame(
+        [("Acme Corporation", "ACME")], "target string, alias string"
+    )
+    rows = canonicalize_unmatched(linked, alias_edges).collect()
+    by_surface = {}
+    for r in rows:
+        by_surface.setdefault(r["surface"], []).append(r["entity_id"])
+    assert by_surface["Acme Corporation"] == ["LEI1"]  # exactly one row
+    assert by_surface["ACME"] == ["LEI1"]  # inherited through the edge
+    assert by_surface["Unrelated Co"][0].startswith("SF:")
+    assert len(rows) == 3
+
+
 def test_pipeline_links_unknown_company_via_pattern_tier(spark):
     """A company absent from the dictionary is still detected (pattern-tier
     NER), extracted, and canonicalized with a stable SF: id."""
