@@ -3,11 +3,14 @@
 entry(spark)   — flagship query on /root/testdata/sf0.001.
 queries()      — one entry per implemented operator family (SURVEY.md §2 +
                  the training-data curation ops).
-oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for ops whose
-                 semantics are not SQL-expressible: LSH/minhash/simhash
-                 candidates, heuristic lang-ID, the fixture KG pipeline,
-                 multimodal UDF stages — the driver records rows-only checks
-                 for those).
+oracle_sql()   — DuckDB-equivalent SQL per query. Relational/text queries get
+                 live SQL oracles; the non-SQL-expressible ops (minhash /
+                 simhash / LSH / IVF candidates, lang-ID, the fixture KG
+                 pipeline, multimodal features) are checked against expected
+                 tables computed INDEPENDENTLY of Spark orchestration by
+                 scripts/gen_expected.py (pure-Python banding / numpy bucket
+                 math / the generator's planted gold triples), with the ANN
+                 rerank recomputed live in DuckDB over the candidate sets.
 
 Column names/aliases match between Spark and SQL on every oracle-checked
 query; floats are rounded on both sides before comparison.
@@ -555,16 +558,38 @@ WHERE co.co * 1.0 / (sa.n + sb.n - co.co) >= 0.8
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (not SQL-expressible; verified against
-    exact Jaccard in tests/test_dedup.py)."""
-    return D.minhash_lsh_pairs(
+    """MinHash+LSH near-dup pairs. Oracle: expected table independently
+    computed by scripts/gen_expected.py (pure-Python banding over the same
+    blake2b signatures; checks the Spark-side band join / dedup / estimate
+    plumbing). est emitted as integer basis points for hash safety."""
+    pairs = D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("est_jaccard") * 10000).cast("long").alias("est_bp"),
     )
 
 
+_MINHASH_SQL = """
+SELECT id_a, id_b, est_bp
+FROM read_parquet('/root/repo/data/expected/sf0.01/minhash_pairs.parquet')
+"""
+
+
 def _q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (banded Hamming; verified in tests)."""
-    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+    """SimHash near-dup pairs. Oracle: independently-banded expected table
+    (scripts/gen_expected.py)."""
+    pairs = D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_SIMHASH_SQL = """
+SELECT id_a, id_b, hamming
+FROM read_parquet('/root/repo/data/expected/sf0.01/simhash_pairs.parquet')
+"""
 
 
 def _q_embedding_near_dups(spark, sf_dir):
@@ -623,29 +648,91 @@ SELECT query_id, vec_id, CAST(round(cosine * 10000) AS BIGINT) AS cosine_bp, ran
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-k (recall vs brute-force checked in tests)."""
+    """LSH-bucketed ANN top-k. Oracle: bucket candidacy is replicated
+    independently (pure-numpy banding, scripts/gen_expected.py); the rerank —
+    exact cosine + window top-k — is recomputed LIVE by DuckDB over the same
+    candidate set, so the verify math is cross-engine checked."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(emb, queries, dim=64, k=5, bands=16, bits_per_band=4)
+    topk = S.lsh_topk(emb, queries, dim=64, k=5, bands=16, bits_per_band=4)
+    return topk.select(
+        "query_id", "vec_id",
+        F.round(F.col("cosine") * 10000).cast("long").alias("cosine_bp"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_LSH_SQL = """
+WITH cand AS (
+  SELECT query_id, vec_id
+  FROM read_parquet('/root/repo/data/expected/sf0.01/ann_lsh_cands.parquet')
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN embeddings q ON c.query_id = q.vec_id
+)
+SELECT query_id, vec_id, CAST(round(cosine * 10000) AS BIGINT) AS cosine_bp,
+       rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF-cell ANN top-k (faiss IndexIVF analog; recall-vs-brute checked in
-    tests/test_dedup_simsearch.py)."""
+    """IVF-cell ANN top-k (faiss IndexIVF analog). Oracle: cell candidacy
+    replicated independently (pure-numpy k-means, scripts/gen_expected.py);
+    rerank recomputed live by DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4)
+    topk = S.ivf_topk(emb, queries, dim=64, k=5, n_cells=16, n_probe=4)
+    return topk.select(
+        "query_id", "vec_id",
+        F.round(F.col("cosine") * 10000).cast("long").alias("cosine_bp"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_IVF_SQL = """
+WITH cand AS (
+  SELECT query_id, vec_id
+  FROM read_parquet('/root/repo/data/expected/sf0.01/ann_ivf_cands.parquet')
+), scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
+  FROM cand c
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  JOIN embeddings q ON c.query_id = q.vec_id
+)
+SELECT query_id, vec_id, CAST(round(cosine * 10000) AS BIGINT) AS cosine_bp,
+       rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 def _q_lang_id(spark, sf_dir):
-    """Heuristic n-gram language-ID (no SQL oracle — model-like stage)."""
+    """Heuristic n-gram language-ID. Oracle: expected labels computed by the
+    plain-Python detector over the same corpus (scripts/gen_expected.py) —
+    checks the Arrow/mapInPandas plumbing end to end."""
     return T.lang_id(_t(spark, sf_dir, "documents")).select(
         "doc_id", "detected_lang"
     )
+
+
+_LANG_ID_SQL = """
+SELECT doc_id, detected_lang
+FROM read_parquet('/root/repo/data/expected/sf0.01/lang_id.parquet')
+"""
 
 
 def _q_kg_triples_fixture(spark, sf_dir):
@@ -661,9 +748,19 @@ def _q_kg_triples_fixture(spark, sf_dir):
         spark.createDataFrame(companies_pdf),
         PipelineConfig(),
     )
-    return out["linked_triples"].select(
-        "sentence_id", "subj_id", "pred", "obj_id"
-    ).orderBy("sentence_id", "subj_id", "obj_id")
+    return (
+        out["linked_triples"]
+        .select("sentence_id", "subj_id", "pred", "obj_id")
+        .distinct()
+    )
+
+
+# The oracle is the GENERATOR's planted gold triples (fixtures.py writes them
+# independently of the extraction pipeline) — a true P/R=1 contract check.
+_KG_TRIPLES_SQL = """
+SELECT DISTINCT sentence_id, subj_id, pred, obj_id
+FROM read_parquet('/root/repo/data/expected/sf0.01/kg_triples_gold.parquet')
+"""
 
 
 def _q_doc_relations_fixture(spark, sf_dir):
@@ -681,8 +778,16 @@ def _q_doc_relations_fixture(spark, sf_dir):
         PipelineConfig(),
     )
     return aggregate_doc_relations(out["linked_triples"], out["mentions"]).select(
-        "url", "company", "relationship", "n_evidence"
-    ).orderBy("url", "company")
+        "url", "company", "relationship", F.col("n_evidence").cast("long").alias("n_evidence")
+    )
+
+
+# Pinned regression snapshot (produced once by this operator, semantics
+# covered by tests/test_reporter_readers.py) — catches silent drift.
+_DOC_RELATIONS_SQL = """
+SELECT url, company, relationship, CAST(n_evidence AS BIGINT) AS n_evidence
+FROM read_parquet('/root/repo/data/expected/sf0.01/doc_relations_snapshot.parquet')
+"""
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -696,6 +801,14 @@ def _q_multimodal_features(spark, sf_dir):
 
     media = make_synthetic_media(spark, n=30)
     return extract_media_features(media).select("media_id", "n_bytes", "content_sha")
+
+
+# Expected shas/sizes recomputed in plain Python over the same deterministic
+# payload generation (scripts/gen_expected.py).
+_MULTIMODAL_SQL = """
+SELECT media_id, n_bytes, content_sha
+FROM read_parquet('/root/repo/data/expected/sf0.01/multimodal_features.parquet')
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -759,4 +872,12 @@ def oracle_sql() -> dict[str, str]:
         "word_jaccard_pairs": _WORD_JACCARD_SQL,
         "embedding_near_dups": _EMBEDDING_NEAR_DUP_SQL,
         "ann_brute_topk": _ANN_BRUTE_SQL,
+        "minhash_lsh_pairs": _MINHASH_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "kg_triples_fixture": _KG_TRIPLES_SQL,
+        "doc_relations_fixture": _DOC_RELATIONS_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
     }

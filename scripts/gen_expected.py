@@ -1,0 +1,261 @@
+#!/usr/bin/env python
+"""Generate expected-output fixture tables for the driver queries that have
+no SQL-expressible oracle (minhash/simhash/LSH/IVF candidates, lang-ID, the
+fixture KG pipeline, multimodal features).
+
+Independence: everything here is computed WITHOUT Spark DataFrame
+orchestration — plain Python dict/loop banding, numpy bucket math, the
+generator's own gold triples — so the oracle checks the Spark-side join /
+banding / dedup / aggregation plumbing against a second implementation.
+Shared building blocks (blake2b hashing, seeded hyperplanes) are imported
+from the package on purpose: the signatures are defined to be those
+functions; what's under test is the distributed composition.
+
+The ONE exception is doc_relations_snapshot.parquet, which is a pinned
+regression snapshot of the Spark operator itself (its semantics are covered
+by tests/test_reporter_readers.py; the snapshot catches silent drift).
+
+Writes parquet under data/expected/sf0.01/ (the driver's oracle SF).
+Usage: python scripts/gen_expected.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from finance_sc_relations_spark.operators.dedup import (  # noqa: E402
+    _hash64,
+    _minhash_params,
+    _shingle_hashes,
+)
+from finance_sc_relations_spark.operators.simsearch import _hyperplanes  # noqa: E402
+from finance_sc_relations_spark.operators.text_stats import _LANG_PROFILES  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+OUT = REPO / "data" / "expected" / "sf0.01"
+
+
+def _docs() -> pd.DataFrame:
+    return duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id").df()
+
+
+def _embeddings() -> pd.DataFrame:
+    # preserve parquet row order — train_ivf_centroids samples in this order
+    return duckdb.sql(f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet'").df()
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(x).quantize(q, ROUND_HALF_UP))
+
+
+def gen_minhash(num_perm=64, bands=16, shingle_n=3, threshold=0.5) -> pd.DataFrame:
+    a, b = _minhash_params(num_perm)
+    mersenne = (1 << 61) - 1
+    sigs = {}
+    for rec in _docs().itertuples(index=False):
+        x = _shingle_hashes(rec.text, shingle_n)
+        if x.size == 0:
+            sigs[rec.doc_id] = np.zeros(num_perm, dtype=np.int64)
+        else:
+            hv = (np.outer(a, x) + b[:, None]) % mersenne
+            sigs[rec.doc_id] = hv.min(axis=1).astype(np.int64)
+    rows_per_band = num_perm // bands
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for band in range(bands):
+            key = (band, tuple(sig[band * rows_per_band : (band + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    cand = set()
+    for members in buckets.values():
+        for i, j in itertools.combinations(sorted(members), 2):
+            cand.add((i, j))
+    rows = []
+    for i, j in sorted(cand):
+        k = int((sigs[i] == sigs[j]).sum())
+        est4 = _round_half_up(k / num_perm, 4)  # mirrors F.round(x, 4)
+        if est4 >= threshold:
+            rows.append((i, j, int(_round_half_up(est4 * 10000, 0))))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "est_bp"]).astype(
+        {"id_a": "int64", "id_b": "int64", "est_bp": "int64"}
+    )
+
+
+def _simhash_sig(text: str) -> int:
+    words = re.split(r"\s+", text.lower().strip())
+    if not words:
+        return 0
+    hv = np.fromiter((_hash64(w) for w in words), dtype=np.uint64)
+    bit_cols = np.arange(64, dtype=np.uint64)
+    bits = (hv[:, None] >> bit_cols) & 1
+    votes = bits.sum(axis=0) * 2 - len(words)
+    sig = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig.astype(np.int64))
+
+
+def gen_simhash(max_hamming=2) -> pd.DataFrame:
+    sigs = {rec.doc_id: _simhash_sig(rec.text) for rec in _docs().itertuples(index=False)}
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for blk in range(4):
+            key = (blk, (sig >> (blk * 16)) & 0xFFFF)
+            buckets.setdefault(key, []).append(doc_id)
+    cand = set()
+    for members in buckets.values():
+        for i, j in itertools.combinations(sorted(members), 2):
+            cand.add((i, j))
+    rows = []
+    for i, j in sorted(cand):
+        ham = bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1")
+        if ham <= max_hamming:
+            rows.append((i, j, ham))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype("int64")
+
+
+def _lsh_buckets(vecs: np.ndarray, bands: int, bits: int, seed=42) -> np.ndarray:
+    planes = _hyperplanes(vecs.shape[1], bands * bits, seed)
+    b = (vecs.astype(np.float32) @ planes.T) > 0
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    return b.reshape(len(vecs), bands, bits) @ weights  # (n, bands)
+
+
+def gen_ann_lsh_cands(bands=16, bits=4, n_queries=10) -> pd.DataFrame:
+    emb = _embeddings()
+    ids = emb.vec_id.to_numpy()
+    vecs = np.stack(emb.embedding.to_numpy()).astype(np.float32)
+    buckets = _lsh_buckets(vecs, bands, bits)
+    qmask = ids < n_queries
+    cand = set()
+    for band in range(bands):
+        byb: dict = {}
+        for i, v in enumerate(buckets[:, band]):
+            byb.setdefault(int(v), []).append(i)
+        for members in byb.values():
+            qs = [i for i in members if qmask[i]]
+            for q, c in itertools.product(qs, members):
+                if ids[c] != ids[q]:
+                    cand.add((int(ids[q]), int(ids[c])))
+    return pd.DataFrame(sorted(cand), columns=["query_id", "vec_id"]).astype("int64")
+
+
+def gen_ann_ivf_cands(n_cells=16, n_probe=4, n_queries=10, seed=42) -> pd.DataFrame:
+    emb = _embeddings()
+    ids = emb.vec_id.to_numpy()
+    vecs = np.stack(emb.embedding.to_numpy()).astype(np.float32)
+    # mirror train_ivf_centroids (full corpus < max_sample_rows at sf0.01)
+    mat = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(5):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    sims = mat @ centroids.T
+    corpus_cell = np.argsort(-sims, axis=1)[:, :1]
+    query_cells = np.argsort(-sims, axis=1)[:, :n_probe]
+    cell_members: dict = {}
+    for i, cells in enumerate(corpus_cell):
+        cell_members.setdefault(int(cells[0]), []).append(i)
+    cand = set()
+    for qi in np.flatnonzero(ids < n_queries):
+        for cell in query_cells[qi]:
+            for ci in cell_members.get(int(cell), []):
+                if ids[ci] != ids[qi]:
+                    cand.add((int(ids[qi]), int(ids[ci])))
+    return pd.DataFrame(sorted(cand), columns=["query_id", "vec_id"]).astype("int64")
+
+
+def gen_lang_id() -> pd.DataFrame:
+    profiles = {lang: set(g) for lang, g in _LANG_PROFILES.items() if g}
+
+    def detect(text: str) -> str:
+        if any("一" <= ch <= "鿿" for ch in text[:400]):
+            return "zh"
+        t = f" {text[:400].lower()} "
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best, best_hits = "en", -1
+        for lang, prof in profiles.items():
+            hits = len(grams & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    docs = _docs()
+    return pd.DataFrame(
+        {"doc_id": docs.doc_id.astype("int64"), "detected_lang": [detect(t) for t in docs.text]}
+    )
+
+
+def gen_kg_gold() -> pd.DataFrame:
+    from finance_sc_relations_spark.fixtures import generate_corpus
+
+    _, gold, _ = generate_corpus(100)
+    return (
+        gold[["sentence_id", "subj_id", "pred", "obj_id"]]
+        .drop_duplicates()
+        .sort_values(["sentence_id", "subj_id", "obj_id"])
+        .reset_index(drop=True)
+    )
+
+
+def gen_multimodal(n=30) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        payload = hashlib.blake2b(f"media{i}".encode(), digest_size=64).digest()
+        rows.append((i, len(payload), hashlib.sha256(payload).hexdigest()))
+    return pd.DataFrame(rows, columns=["media_id", "n_bytes", "content_sha"]).astype(
+        {"media_id": "int64", "n_bytes": "int64"}
+    )
+
+
+def gen_doc_relations_snapshot() -> pd.DataFrame:
+    """Pinned regression snapshot — the one table produced BY the operator."""
+    from finance_sc_relations_spark.session import build_session
+    import __spark_entry__ as E
+
+    spark = build_session(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pdf = E.queries()["doc_relations_fixture"](spark, SF).toPandas()
+    spark.stop()
+    return pdf
+
+
+def main() -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    tables = {
+        "minhash_pairs": gen_minhash(),
+        "simhash_pairs": gen_simhash(),
+        "ann_lsh_cands": gen_ann_lsh_cands(),
+        "ann_ivf_cands": gen_ann_ivf_cands(),
+        "lang_id": gen_lang_id(),
+        "kg_triples_gold": gen_kg_gold(),
+        "multimodal_features": gen_multimodal(),
+    }
+    for name, df in tables.items():
+        df.to_parquet(OUT / f"{name}.parquet", index=False)
+        print(f"{name}: {len(df)} rows -> {OUT / (name + '.parquet')}")
+    snap = gen_doc_relations_snapshot()
+    snap.to_parquet(OUT / "doc_relations_snapshot.parquet", index=False)
+    print(f"doc_relations_snapshot: {len(snap)} rows (pinned Spark output)")
+
+
+if __name__ == "__main__":
+    main()
