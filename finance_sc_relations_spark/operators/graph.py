@@ -165,7 +165,13 @@ def k_hop_paths(edges: DataFrame, k: int = 2, max_paths_per_hop: int | None = No
     Each hop is one equi-join shuffle on the chain head; at corpus scale
     hot intermediate nodes fan out multiplicatively, so AQE skew-join plus
     an optional per-hop cap bound the blow-up (the GraphFrames motif-query
-    analog without the GraphFrames dependency)."""
+    analog without the GraphFrames dependency).
+
+    max_paths_per_hop caps paths PER SOURCE via a window row_number — a
+    global limit() would funnel the whole frontier through one partition
+    and silently bias results toward whichever partitions arrive first."""
+    from pyspark.sql import Window
+
     paths = edges.select(
         F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
     ).distinct().withColumn("hops", F.lit(1))
@@ -180,7 +186,12 @@ def k_hop_paths(edges: DataFrame, k: int = 2, max_paths_per_hop: int | None = No
             .distinct()
         )
         if max_paths_per_hop:
-            paths = paths.limit(max_paths_per_hop)
+            w = Window.partitionBy("src").orderBy(F.col("dst").asc())
+            paths = (
+                paths.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_paths_per_hop)
+                .drop("_rn")
+            )
     return paths
 
 

@@ -69,11 +69,13 @@ class RuleLLMAnnotator:
     triple means c1 is `relation` of c2. Masks orgs before 'prompting' and
     demasks after, mirroring mask_terms (llm_annotator.py:193-205)."""
 
+    @staticmethod
+    def _swap(text: str, token: str, repl: str) -> str:
+        # boundary-aware: replacing 'Company1' must not corrupt 'Company10'
+        return re.sub(re.escape(token) + r"(?!\d)", repl, text)
+
     def annotate(self, sentence: str, orgs: List[str]) -> List[List[str]]:
         masked, mapping = mask_terms(sentence, orgs)
-        canon = masked
-        for token in mapping:
-            canon = canon.replace(token, f"E{token}X")  # reuse E..X tag shape
         triples: List[List[str]] = []
         # scan every ordered token pair against the directional cue lexicon
         tokens = list(mapping.keys())
@@ -81,7 +83,7 @@ class RuleLLMAnnotator:
             for b in tokens:
                 if a == b:
                     continue
-                test = masked.replace(a, "E1X").replace(b, "E2X")
+                test = self._swap(self._swap(masked, a, "E1X"), b, "E2X")
                 for pat in _DIRECTIONAL_PATTERNS:
                     m = pat.search(test)
                     if not m:

@@ -157,6 +157,23 @@ class CheckpointManager:
         return self.read_stage(stage)
 
 
+def _input_signature(path: str) -> str:
+    """Cheap content signal for the resume fingerprint: file count + total
+    bytes + max mtime under the input path. Regenerating an input IN PLACE
+    (same path, new content) must invalidate completed stages — a path-only
+    fingerprint silently reuses them and returns stale results."""
+    p = Path(path)
+    files = sorted(p.rglob("*")) if p.is_dir() else ([p] if p.exists() else [])
+    n, total, mtime = 0, 0, 0.0
+    for f in files:
+        if f.is_file():
+            st = f.stat()
+            n += 1
+            total += st.st_size
+            mtime = max(mtime, st.st_mtime)
+    return f"n{n}b{total}m{int(mtime)}"
+
+
 def run_pipeline_checkpointed(
     spark: SparkSession,
     pages_path: str,
@@ -186,7 +203,10 @@ def run_pipeline_checkpointed(
 
     cfg = config or PipelineConfig()
     ckpt = CheckpointManager(spark, checkpoint_root, run_id=run_id)
-    fp = f"{pages_path}|{company_dict_path}|{cfg!r}"
+    fp = (
+        f"{pages_path}|{company_dict_path}|{cfg!r}"
+        f"|{_input_signature(pages_path)}|{_input_signature(company_dict_path)}"
+    )
 
     def _rows(stage: str) -> int:
         """Completed stage's output_rows from its manifest (feeds the next

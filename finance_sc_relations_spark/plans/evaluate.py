@@ -26,6 +26,17 @@ from ..operators.re_classifier import aggregate_positions, score_pairs
 from ..schemas import PAIRS
 
 
+def _eval_rid(sentence: str, filer: str, company: str) -> str:
+    """Collision-safe eval join key: hash of the FULL (sentence, filer,
+    company) tuple — a 40-char sentence prefix collides for boilerplate gold
+    rows and a set_index join would then cross-multiply, corrupting counts."""
+    import hashlib
+
+    return hashlib.blake2b(
+        f"{sentence}\x00{filer}\x00{company}".encode(), digest_size=12
+    ).hexdigest()
+
+
 def tag_eval_pairs(gold: DataFrame, num_positions: float = float("inf")) -> DataFrame:
     """gold(Sentence, Filer, Company, Relationship, org_groups) -> PAIRS rows.
 
@@ -40,7 +51,7 @@ def tag_eval_pairs(gold: DataFrame, num_positions: float = float("inf")) -> Data
                 tagged = entity_annotation(
                     rec.Sentence, rec.Filer, rec.Company, org_groups, num_positions
                 )
-                rid = f"{rec.Sentence[:40]}|{rec.Filer}|{rec.Company}"
+                rid = _eval_rid(rec.Sentence, rec.Filer, rec.Company)
                 for sent in tagged:
                     rows.append(
                         dict(
@@ -73,9 +84,13 @@ def evaluate_re(
 
     gold_pdf = gold.toPandas()
     gold_pdf["r_id"] = [
-        f"{s[:40]}|{f}|{c}"
+        _eval_rid(s, f, c)
         for s, f, c in zip(gold_pdf.Sentence, gold_pdf.Filer, gold_pdf.Company)
     ]
+    gold_pdf = gold_pdf.drop_duplicates(subset=["r_id"])
+    assert gold_pdf["r_id"].is_unique and pred.index.is_unique, (
+        "eval join keys must be unique or the join cross-multiplies rows"
+    )
     merged = gold_pdf.set_index("r_id").join(pred, how="inner")
 
     y_true = merged["Relationship"].to_numpy()

@@ -50,7 +50,10 @@ def stream_extract_triples(
     aggregation steps (position mean, linking) are batch-local, which is
     exactly the reference's semantics (each SQS batch is processed
     independently, src/sagemaker/re_inference.py). Exactly-once lands via
-    the streaming checkpoint + idempotent parquet append keyed by batchId.
+    the streaming checkpoint + an IDEMPOTENT sink: output is partitioned by
+    _batch_id and each batch dynamically overwrites only its own partition,
+    so a batch replayed after a failure replaces its rows instead of
+    appending duplicates.
     """
     from ..plans.pipeline import PipelineConfig, run_pipeline
 
@@ -65,7 +68,9 @@ def stream_extract_triples(
         (
             out["linked_triples"]
             .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(output_dir)
         )
 

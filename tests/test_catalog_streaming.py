@@ -155,3 +155,26 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     # 'alpha text' emitted exactly once, for its first doc_id
     assert len(got) == 3
     assert set(got["doc_id"]) == {1, 2, 4} or set(got["doc_id"]) == {2, 3, 4}
+
+
+def test_stream_sink_idempotent_on_replay(spark, tmp_path):
+    """Losing the streaming checkpoint (or a crash between sink write and
+    checkpoint commit) replays batches with the same batch ids; the
+    partition-overwrite sink must replace, not duplicate."""
+    pages_pdf, _, companies_pdf = generate_corpus(20)
+    pages_pdf["warc_ts"] = pages_pdf["warc_ts"].astype("datetime64[us, UTC]")
+    src = tmp_path / "pages_stream2"
+    src.mkdir()
+    pages_pdf.to_parquet(src / "part-0.parquet", index=False)
+
+    out_dir = str(tmp_path / "triples_out2")
+    for ckpt in ("ck_a", "ck_b"):  # second run = full replay, same batch ids
+        q = stream_extract_triples(
+            spark, str(src), companies_pdf, out_dir, str(tmp_path / ckpt)
+        ).start()
+        q.awaitTermination(300)
+        if ckpt == "ck_a":
+            n1 = spark.read.parquet(out_dir).count()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n1  # replaced, not appended
+    assert got.select("_batch_id").distinct().count() == 1

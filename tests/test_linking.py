@@ -126,3 +126,18 @@ def test_k_hop_paths(spark):
     assert ("a", "d") not in two  # that's 3 hops
     three = {(r.src, r.dst) for r in k_hop_paths(edges, k=3).collect()}
     assert ("a", "d") in three
+
+
+def test_k_hop_per_src_cap_no_global_funnel(spark):
+    """max_paths_per_hop caps per SOURCE (window), not globally: a hot hub
+    must not starve other sources' paths."""
+    from finance_sc_relations_spark.operators.graph import k_hop_paths
+
+    edges = [("hub", f"m{i}") for i in range(20)]
+    edges += [(f"m{i}", f"t{i}") for i in range(20)]
+    edges += [("a", "b"), ("b", "c")]
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    two = k_hop_paths(df, k=2, max_paths_per_hop=5).toPandas()
+    by_src = two.groupby("src").size().to_dict()
+    assert by_src.get("hub", 0) == 5  # capped
+    assert ("a", "c") in {(r.src, r.dst) for r in two.itertuples(index=False)}

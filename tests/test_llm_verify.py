@@ -223,3 +223,18 @@ def test_rule_llm_annotator_direction():
         "Beta Inc purchases modules from Acme Corp.", ["Acme Corp", "Beta Inc"]
     )
     assert ["Acme Corp", "supplier", "Beta Inc"] in triples2
+
+
+def test_rule_llm_annotator_many_orgs_token_boundary():
+    """With 11+ orgs, masking token 'Company1' must not corrupt 'Company10':
+    relations involving the higher-numbered org must still be found."""
+    fillers = [f"Filler{i} Gmbh" for i in range(10)]
+    sent = (
+        " ".join(f"{f} is mentioned." for f in fillers)
+        + " Alpha Corp supplies components to Omega Inc."
+    )
+    # longest-first masking puts the two real orgs at high token numbers
+    orgs = sorted(fillers + ["Alpha Corp", "Omega Inc"], key=len)
+    ann = RuleLLMAnnotator()
+    triples = ann.annotate(sent, orgs)
+    assert ["Alpha Corp", "supplier", "Omega Inc"] in triples

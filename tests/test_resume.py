@@ -103,3 +103,32 @@ def test_lineage_partition_counts_sum_to_output(spark, fixture_paths, tmp_path):
     triples_rows = lineage[lineage.stage == "triples"]
     assert triples_rows["output_rows"].sum() == out["triples"].count()
     assert triples_rows["partition_id"].nunique() == len(triples_rows)
+
+
+def test_in_place_input_regeneration_invalidates(spark, tmp_path):
+    """Same input PATHS, different content: completed stages must NOT be
+    silently reused (the fingerprint folds in a file-level content signal)."""
+    import os
+    import time
+
+    root = tmp_path / "fx"
+    write_fixture_parquet(root, 30)
+    pages_path = str(root / "pages.parquet")
+    cd_path = str(root / "company_dict.parquet")
+    ckpt_root = tmp_path / "ckpt_inplace"
+
+    out1 = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_root)
+    n1 = out1["linked_triples"].count()
+
+    # regenerate IN PLACE with a different corpus size
+    shutil.rmtree(root)
+    write_fixture_parquet(root, 60)
+    # ensure the mtime signal moves even on coarse filesystem clocks
+    now = time.time() + 2
+    for f in Path(pages_path).rglob("*"):
+        if f.is_file():
+            os.utime(f, (now, now))
+
+    out2 = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_root)
+    n2 = out2["linked_triples"].count()
+    assert n2 > n1  # recomputed from the new input, not stale
