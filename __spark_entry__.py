@@ -453,25 +453,42 @@ FROM documents
 
 
 def _q_segment(spark, sf_dir):
-    """T3 sentence segmentation over the documents corpus."""
-    pages = _t(spark, sf_dir, "documents").select(
+    """T3 sentence segmentation — exercised on REAL multi-sentence input.
+
+    The shared documents fixture contains no sentence-final punctuation
+    (verified: zero [.!?] at every SF), so the query synthesizes a
+    deterministic 3-sentence page per doc (clean '.' clean '!' tail '?')
+    and segments it. DuckDB's RE2 has no lookbehind, so the oracle
+    reconstructs the exact expected sentences per part — valid because the
+    cleaned doc text provably contains no splitter characters."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = clean_text_col("text")
+    punct = F.concat(
+        clean, F.lit(". "), clean, F.lit("! Tail sentence "),
+        F.col("doc_id").cast("string"), F.lit("?"),
+    )
+    pages = docs.select(
         F.col("doc_id").cast("string").alias("url"),
-        F.col("text"),
+        punct.alias("text"),
         F.col("lang"),
     )
     return segment_sentences(pages, lang=None).select(
-        "url", "sent_index", "sentence"
+        "url", F.col("sent_index").cast("long").alias("sent_index"), "sentence"
     )
 
 
-# documents contain no sentence-final punctuation (verified at generation),
-# so segmentation yields exactly one cleaned sentence per doc; the oracle
-# asserts that contract in plain SQL.
 _SEGMENT_SQL = r"""
-SELECT CAST(doc_id AS VARCHAR) AS url, 0 AS sent_index,
-       trim(regexp_replace(text, '[-[\] ]+', ' ', 'g')) AS sentence
-FROM documents
-WHERE length(trim(regexp_replace(text, '[-[\] ]+', ' ', 'g'))) > 0
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         CAST(doc_id AS VARCHAR) AS did,
+         trim(regexp_replace(text, '[-[\] ]+', ' ', 'g')) AS clean
+  FROM documents
+), parts AS (
+  SELECT url, CAST(0 AS BIGINT) AS sent_index, clean || '.' AS sentence FROM c
+  UNION ALL SELECT url, CAST(1 AS BIGINT), clean || '!' FROM c
+  UNION ALL SELECT url, CAST(2 AS BIGINT), 'Tail sentence ' || did || '?' FROM c
+)
+SELECT url, sent_index, sentence FROM parts WHERE length(trim(sentence)) > 0
 """
 
 

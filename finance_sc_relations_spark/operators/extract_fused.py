@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.tagging import entity_annotation, inverse_relations, mutate_sent
-from .models import get_re_model
+from .models import get_re_model, model_from_broadcast
 from .pairs import enumerate_pairs
 from .re_classifier import CUS, SUP
 
@@ -50,13 +50,21 @@ def tag_and_score(
     num_positions: float = math.inf,
     mutate: bool = True,
     reverse: bool = True,
+    model_broadcast=None,
 ) -> DataFrame:
     """gated mentions (url, sentence_id, sentence, org_groups) -> scored
     position rows, one Arrow pass. Feed to
-    re_classifier.aggregate_positions for R7/R8."""
+    re_classifier.aggregate_positions for R7/R8.
+
+    model_broadcast: optional sc.broadcast(serialize_model(...)) — the
+    transformer drop-in seam (loaded once per executor)."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = get_re_model()
+        model = (
+            model_from_broadcast(model_broadcast)
+            if model_broadcast is not None
+            else get_re_model()
+        )
         for batch in batches:
             meta = []  # (url, sentence_id, r_id, entity1, entity2)
             sents = []

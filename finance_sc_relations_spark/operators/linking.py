@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     FloatType,
     StringType,
     StructField,
@@ -54,6 +55,23 @@ LINKED_SCHEMA = StructType(
         StructField("entity_id", StringType(), True),
         StructField("matched_name", StringType(), True),
         StructField("link_score", FloatType(), True),
+        # L6: top-k sub-match-threshold candidates per mention — the
+        # reference's org_links[name]['candidates'] / 'candidates_names'
+        # (src/relation_extraction/reporter.py:203-237), consumed downstream
+        # as extractedNameCandidateIds (reporter.py:43-52).
+        StructField(
+            "candidates",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("name", StringType(), False),
+                        StructField("entity_id", StringType(), False),
+                        StructField("score", FloatType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 
@@ -79,6 +97,7 @@ def link_surfaces(
     company_dict,
     cand_thresh: float = 0.8,
     match_thresh: float = 0.95,
+    top_k: int = 5,
 ) -> DataFrame:
     """surfaces(surface) -> LINKED_SCHEMA via exact-alias + prefix-blocked
     fuzzy matching against the broadcast dictionary (L5+L6).
@@ -87,7 +106,9 @@ def link_surfaces(
     collects it once and reuses it across stages).
     Exact matches (canonical name or known alias) score 1.0; otherwise the
     best prefix-block cosine >= match_thresh wins (match_companies thresholds,
-    src/sagemaker/re_inference.py:135-137 defaults)."""
+    src/sagemaker/re_inference.py:135-137 defaults). Every surface also
+    carries its top_k sub-match-threshold candidates at cand_thresh — the
+    matches/candidates split of match_companies (reporter.py:203-237)."""
     spark = surfaces.sparkSession
     dict_pdf = (
         company_dict
@@ -115,28 +136,51 @@ def link_surfaces(
             p: embedder.encode([f for _, _, f in items])
             for p, items in by_prefix.items()
         }
+        def _cands(surface: str, matched_form: str | None):
+            """top_k (name, entity_id, score) with cand_thresh <= score <
+            match_thresh, excluding the match itself (reporter.py:224-227)."""
+            p = _prefix2(surface)
+            items = by_prefix.get(p)
+            if not items:
+                return []
+            sims = prefix_emb[p] @ embedder.encode([surface])[0]
+            order = np.argsort(-sims)[: top_k + 1]
+            cands = []
+            for idx in order:
+                s = float(sims[idx])
+                entity_id, canonical, form = items[idx]
+                if s < cand_thresh or len(cands) >= top_k:
+                    break
+                if s >= match_thresh or form == matched_form:
+                    continue
+                cands.append({"name": form, "entity_id": entity_id, "score": s})
+            return cands
+
         for batch in batches:
             out = []
             for surface in batch["surface"]:
                 hit = exact.get(surface)
                 if hit is not None:
-                    out.append((surface, hit[0], hit[1], 1.0))
+                    out.append((surface, hit[0], hit[1], 1.0, _cands(surface, surface)))
                     continue
                 p = _prefix2(surface)
                 items = by_prefix.get(p)
                 if not items:
-                    out.append((surface, None, None, None))
+                    out.append((surface, None, None, None, []))
                     continue
                 sims = prefix_emb[p] @ embedder.encode([surface])[0]
                 best = int(np.argmax(sims))
                 if sims[best] >= match_thresh:
                     out.append(
-                        (surface, items[best][0], items[best][1], float(sims[best]))
+                        (surface, items[best][0], items[best][1], float(sims[best]),
+                         _cands(surface, items[best][2]))
                     )
                 else:
-                    out.append((surface, None, None, None))
+                    out.append((surface, None, None, None, _cands(surface, None)))
             yield pd.DataFrame(
-                out, columns=["surface", "entity_id", "matched_name", "link_score"]
+                out,
+                columns=["surface", "entity_id", "matched_name", "link_score",
+                         "candidates"],
             )
 
     return surfaces.select("surface").distinct().mapInPandas(_map, schema=LINKED_SCHEMA)

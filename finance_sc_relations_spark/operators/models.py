@@ -138,6 +138,34 @@ class SCLexicalModel:
 
 _RE_MODEL: REPatternModel | None = None
 _SC_MODEL: SCLexicalModel | None = None
+# Per-executor cache of models deserialized from broadcast checkpoints,
+# keyed by checkpoint id — one load per executor process, shared by every
+# task/batch on that executor (model_fn semantics).
+_BROADCAST_LOADED: dict = {}
+
+
+def serialize_model(model_id: str, model) -> tuple:
+    """Package a BatchModel for sc.broadcast(): (model_id, payload bytes).
+    On a GPU cluster the payload is the checkpoint blob and the deserializer
+    builds the transformer (re_trf.py:51-65); here it's a pickle."""
+    import pickle
+
+    return (model_id, pickle.dumps(model))
+
+
+def model_from_broadcast(bc) -> BatchModel:
+    """Per-executor singleton loaded from a broadcast checkpoint — the Spark
+    analog of SageMaker's once-per-container model_fn
+    (src/sagemaker/re_inference.py:24-35). Deserializes at most once per
+    (executor, model_id); every Arrow batch reuses the cached instance."""
+    model_id, payload = bc.value
+    model = _BROADCAST_LOADED.get(model_id)
+    if model is None:
+        import pickle
+
+        model = pickle.loads(payload)
+        _BROADCAST_LOADED[model_id] = model
+    return model
 
 
 def get_re_model() -> REPatternModel:
@@ -154,3 +182,17 @@ def get_sc_model() -> SCLexicalModel:
     if _SC_MODEL is None:
         _SC_MODEL = SCLexicalModel()
     return _SC_MODEL
+
+
+class ConstantModel:
+    """Contract/debug scorer: one fixed score row for every input. Exists so
+    the broadcast-checkpoint seam (serialize_model/model_from_broadcast) can
+    be exercised end to end with a model that is trivially distinguishable
+    from the default lexical scorers."""
+
+    def __init__(self, scores: Sequence[float]):
+        self.num_labels = len(scores)
+        self._row = np.asarray(scores, dtype=np.float32)
+
+    def score_batch(self, texts: Sequence[str]) -> np.ndarray:
+        return np.tile(self._row, (len(texts), 1))

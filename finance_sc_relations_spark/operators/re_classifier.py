@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 
 from ..functions.relations import LABELS
 from ..functions.tagging import inverse_relations, mutate_sent
-from .models import get_re_model
+from .models import get_re_model, model_from_broadcast
 
 _SCORED_POSITIONS = StructType(
     [
@@ -61,6 +61,7 @@ def score_pairs(
     mutate: bool = True,
     reverse: bool = True,
     model_partitions: int | None = None,
+    model_broadcast=None,
 ) -> DataFrame:
     """PAIRS rows -> per-position score rows (one row per tagged position).
 
@@ -72,13 +73,20 @@ def score_pairs(
     model_partitions: repartition before the model stage to balance batch
     sizes across executors (reference analog: instance-fleet sizing,
     src/glue/glue_etl.py:548-593).
+    model_broadcast: optional sc.broadcast(serialize_model(...)) — swaps the
+    default lexical scorer for a checkpoint-loaded BatchModel (the GPU
+    transformer drop-in seam), deserialized once per executor.
     """
     df = pairs
     if model_partitions:
         df = df.repartition(model_partitions)
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = get_re_model()
+        model = (
+            model_from_broadcast(model_broadcast)
+            if model_broadcast is not None
+            else get_re_model()
+        )
         for batch in batches:
             if len(batch) == 0:
                 continue
@@ -166,9 +174,11 @@ def classify_pairs(
     mutate: bool = True,
     reverse: bool = True,
     model_partitions: int | None = None,
+    model_broadcast=None,
 ) -> DataFrame:
     """Full R2-R8 chain: score positions, position-mean, argmax."""
     return aggregate_positions(
         score_pairs(pairs, mutate=mutate, reverse=reverse,
-                    model_partitions=model_partitions)
+                    model_partitions=model_partitions,
+                    model_broadcast=model_broadcast)
     )

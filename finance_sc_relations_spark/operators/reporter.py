@@ -93,6 +93,7 @@ def aggregate_doc_relations(
     reporter_col: str | None = None,
     scoring: str = "sum",
     cluster_threshold: float = 0.96,
+    linked: DataFrame | None = None,
 ) -> DataFrame:
     """linked_triples (url, sentence_id, subj_surface, obj_surface, score,
     pred) x mentions (for alias pairs) -> one row per (url, company) with the
@@ -169,4 +170,18 @@ def aggregate_doc_relations(
             rows, columns=[f.name for f in DOC_RELATIONS_SCHEMA.fields]
         )
 
-    return trip.groupBy("url").applyInPandas(_agg, schema=DOC_RELATIONS_SCHEMA)
+    out = trip.groupBy("url").applyInPandas(_agg, schema=DOC_RELATIONS_SCHEMA)
+    if linked is not None:
+        # the reference's per-item extractedNameId / extractedNameCandidateIds
+        # (reporter.py:43-52): attach the dictionary match + top-k candidate
+        # ids of the representative surface. Plain equi-join — the distinct
+        # surface table is ~10^7 rows at corpus scale, too big to broadcast.
+        link_cols = linked.select(
+            F.col("surface").alias("company"),
+            F.col("entity_id").alias("company_entity_id"),
+            F.transform("candidates", lambda c: c["entity_id"]).alias(
+                "candidate_ids"
+            ),
+        )
+        out = out.join(link_cols, "company", "left")
+    return out

@@ -53,6 +53,10 @@ class PipelineConfig:
     # Fuse tagging+scoring into one Arrow pass (tagged strings never cross
     # the JVM boundary). False exposes the `pairs` intermediate for debugging.
     fuse_extraction: bool = True
+    # Optional sc.broadcast(models.serialize_model(...)) — swaps the RE
+    # scorer for a checkpoint-loaded BatchModel (the GPU transformer
+    # drop-in seam), deserialized once per executor.
+    re_model_broadcast: object = None
     extra: dict = field(default_factory=dict)
 
 
@@ -104,6 +108,7 @@ def run_pipeline(
             num_positions=cfg.num_positions,
             mutate=cfg.mutate,
             reverse=cfg.reverse,
+            model_broadcast=cfg.re_model_broadcast,
         )
         classified = aggregate_positions(scored)
     else:
@@ -116,6 +121,7 @@ def run_pipeline(
             mutate=cfg.mutate,
             reverse=cfg.reverse,
             model_partitions=cfg.model_partitions,
+            model_broadcast=cfg.re_model_broadcast,
         )
     triples = emit_triples(classified, score_threshold=cfg.score_threshold)
     if cfg.persist_intermediate:
@@ -148,6 +154,7 @@ def run_pipeline(
         pairs=pairs,
         classified=classified,
         triples=triples,
+        linked_surfaces=linked_surfaces,
         surface_to_entity=surface_to_entity,
         alias_edges=alias_edges,
         linked_triples=linked,

@@ -91,3 +91,44 @@ def balance_relations(
     target = min(counts.values())
     fractions = {k: min(target / v, 1.0) for k, v in counts.items()}
     return df.sampleBy(label_col, fractions, seed=seed)
+
+
+def split_distribution_report(
+    train: DataFrame,
+    valid: DataFrame,
+    stratify_by: Sequence[str],
+) -> tuple[DataFrame, str]:
+    """Per-(split, stratum, value) counts + fractions — the distribution
+    report the reference logs after splitting (src/stages/data_split.py:62-70:
+    value_counts()/len per stratify column, rendered to markdown).
+
+    Returns (report DataFrame, markdown string). The DataFrame is one
+    groupBy per stratum column over each split — map-side combinable counts,
+    no extra shuffle beyond the aggs."""
+    parts = []
+    for split_name, df in (("train", train), ("valid", valid)):
+        n = df.count()
+        for col in stratify_by:
+            parts.append(
+                df.groupBy(F.col(col).cast("string").alias("value"))
+                .agg(F.count("*").alias("count"))
+                .select(
+                    F.lit(split_name).alias("split"),
+                    F.lit(col).alias("stratum"),
+                    "value",
+                    "count",
+                    F.round(F.col("count") / F.lit(max(n, 1)), 4).alias("fraction"),
+                )
+            )
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+
+    pdf = report.toPandas().sort_values(["split", "stratum", "value"])
+    lines = ["| split | stratum | value | count | fraction |",
+             "|---|---|---|---|---|"]
+    for r in pdf.itertuples(index=False):
+        lines.append(
+            f"| {r.split} | {r.stratum} | {r.value} | {r.count} | {r.fraction} |"
+        )
+    return report, "\n".join(lines)

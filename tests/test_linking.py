@@ -141,3 +141,51 @@ def test_k_hop_per_src_cap_no_global_funnel(spark):
     by_src = two.groupby("src").size().to_dict()
     assert by_src.get("hub", 0) == 5  # capped
     assert ("a", "c") in {(r.src, r.dst) for r in two.itertuples(index=False)}
+
+
+def test_link_surfaces_emits_candidate_lists(spark):
+    """L6: every surface carries its top-k sub-match-threshold candidates
+    (reference org_links matches/candidates split, reporter.py:203-237).
+    The Sonexa family is planted in the dictionary as near-duplicates."""
+    cd = spark.createDataFrame(company_universe())
+    surfaces = spark.createDataFrame(
+        [("Sonexa",), ("Veltrix Systems",), ("Totally Unknown Ventures LLC",)],
+        "surface string",
+    )
+    rows = {r["surface"]: r for r in link_surfaces(surfaces, cd).collect()}
+    # exact match: siblings above match_thresh are matches, NOT candidates
+    sonexa = rows["Sonexa"]
+    assert sonexa["entity_id"] is not None and sonexa["link_score"] == 1.0
+    cand_names = [c["name"] for c in sonexa["candidates"]]
+    assert sonexa["matched_name"] not in cand_names
+    # a candidate-band sibling (cand_thresh <= score < match_thresh) is
+    # reported: 'Veltrix Systems GmbH' scores ~0.82 against 'Veltrix Systems'
+    veltrix = rows["Veltrix Systems"]
+    v_cands = {c["name"]: c for c in veltrix["candidates"]}
+    assert "Veltrix Systems GmbH" in v_cands
+    assert 0.8 <= v_cands["Veltrix Systems GmbH"]["score"] < 0.95
+    assert all(0.8 <= c["score"] < 0.95 for c in veltrix["candidates"])
+    assert len(veltrix["candidates"]) <= 5
+    # no prefix block -> empty list, not null
+    assert rows["Totally Unknown Ventures LLC"]["candidates"] is not None
+
+
+def test_doc_relations_carry_candidate_ids(spark):
+    """The rollup exposes extractedNameId/-CandidateIds analogs when the
+    linked surface table is supplied."""
+    from finance_sc_relations_spark.fixtures import generate_corpus
+    from finance_sc_relations_spark.operators.reporter import aggregate_doc_relations
+
+    pages_pdf, _, companies_pdf = generate_corpus(40)
+    cd = spark.createDataFrame(companies_pdf)
+    out = run_pipeline(
+        spark, spark.createDataFrame(pages_pdf), cd, PipelineConfig()
+    )
+    agg = aggregate_doc_relations(
+        out["linked_triples"], out["mentions"], linked=out["linked_surfaces"]
+    )
+    cols = set(agg.columns)
+    assert {"company_entity_id", "candidate_ids"} <= cols
+    pdf = agg.toPandas()
+    assert len(pdf) > 0
+    assert pdf["company_entity_id"].notna().any()

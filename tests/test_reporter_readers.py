@@ -67,4 +67,4 @@ def test_read_frame_dispatch(spark, tmp_path):
         assert df.count() == 2
         assert set(df.columns) == {"a", "b"}
     with pytest.raises(ValueError):
-        read_frame(spark, "file.xlsx")
+        read_frame(spark, "file.unsupported")  # xlsx is handled now (test_readers.py)

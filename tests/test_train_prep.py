@@ -67,3 +67,30 @@ def test_balance_relations_downsamples(spark):
               for r in balanced.groupBy("relations").count().collect()}
     assert counts["other"] == 60
     assert counts["supplier"] <= 90  # sampled toward the minority size
+
+
+def test_split_distribution_report_matches_pandas(spark):
+    import pandas as pd
+
+    from finance_sc_relations_spark.plans.train_prep import (
+        split_distribution_report,
+        stratified_split,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "idx": range(200),
+            "relations": ["supplier", "customer", "other", "supplier"] * 50,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    train, valid = stratified_split(df, "idx", ["relations"], val_size=0.25)
+    report, md = split_distribution_report(train, valid, ["relations"])
+    got = report.toPandas()
+    tr = train.toPandas()
+    expected_tr = tr["relations"].value_counts()
+    for label, cnt in expected_tr.items():
+        row = got[(got.split == "train") & (got.value == label)]
+        assert int(row["count"].iloc[0]) == cnt
+        assert abs(float(row["fraction"].iloc[0]) - cnt / len(tr)) < 1e-3
+    assert md.startswith("| split |") and "supplier" in md
