@@ -36,6 +36,8 @@ from pyspark.sql.types import (
 )
 
 from .text_stats import fingerprint_col
+from ..util import ensure_parallelism as _parallelize
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -43,7 +45,7 @@ from .text_stats import fingerprint_col
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per fingerprint (deterministic winner)."""
-    fp = docs.withColumn("fingerprint", fingerprint_col(text_col))
+    fp = _parallelize(docs).withColumn("fingerprint", fingerprint_col(text_col))
     winners = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return winners.join(fp, [id_col, "fingerprint"], "inner").drop("fingerprint")
 
@@ -82,6 +84,7 @@ def ngram_jaccard_pairs(
     hits on web corpora. Candidates are verified by exact array_intersect,
     so the result is identical to the naive join (no silent truncation —
     nothing is dropped, high-df grams still count via the verify step)."""
+    docs = _parallelize(docs)
     grams = docs.select(
         F.col(id_col).alias("id"), _ngram_col(text_col, n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
@@ -188,7 +191,7 @@ def minhash_signatures(
                 sigs.append(hv.min(axis=1).astype(np.int64))
             yield pd.DataFrame({"id": batch[id_col].astype("int64"), "signature": sigs})
 
-    return docs.select(id_col, text_col).mapInPandas(_map, schema=schema)
+    return _parallelize(docs.select(id_col, text_col)).mapInPandas(_map, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -291,7 +294,7 @@ def simhash_signatures(
                 out.append(int(sig.astype(np.int64)))
             yield pd.DataFrame({"id": batch[id_col].astype("int64"), "simhash": out})
 
-    return docs.select(id_col, text_col).mapInPandas(_map, schema=schema)
+    return _parallelize(docs.select(id_col, text_col)).mapInPandas(_map, schema=schema)
 
 
 def simhash_near_pairs(

@@ -136,47 +136,50 @@ def link_surfaces(
             p: embedder.encode([f for _, _, f in items])
             for p, items in by_prefix.items()
         }
-        def _cands(surface: str, matched_form: str | None):
+        def _cands_from_sims(sims, items):
             """top_k (name, entity_id, score) with cand_thresh <= score <
-            match_thresh, excluding the match itself (reporter.py:224-227)."""
-            p = _prefix2(surface)
-            items = by_prefix.get(p)
-            if not items:
-                return []
-            sims = prefix_emb[p] @ embedder.encode([surface])[0]
-            order = np.argsort(-sims)[: top_k + 1]
+            match_thresh — the reference's matches/candidates split
+            (reporter.py:224-227). Match-level items are matches, never
+            candidates."""
             cands = []
-            for idx in order:
+            for idx in np.argsort(-sims):
                 s = float(sims[idx])
-                entity_id, canonical, form = items[idx]
                 if s < cand_thresh or len(cands) >= top_k:
                     break
-                if s >= match_thresh or form == matched_form:
+                if s >= match_thresh:
                     continue
+                entity_id, canonical, form = items[idx]
                 cands.append({"name": form, "entity_id": entity_id, "score": s})
             return cands
 
         for batch in batches:
             out = []
             for surface in batch["surface"]:
-                hit = exact.get(surface)
-                if hit is not None:
-                    out.append((surface, hit[0], hit[1], 1.0, _cands(surface, surface)))
-                    continue
                 p = _prefix2(surface)
                 items = by_prefix.get(p)
-                if not items:
+                # ONE encode + one block matmul per surface feeds both the
+                # best-match decision and the candidate list
+                sims = (
+                    prefix_emb[p] @ embedder.encode([surface])[0]
+                    if items
+                    else None
+                )
+                cands = _cands_from_sims(sims, items) if items else []
+                hit = exact.get(surface)
+                if hit is not None:
+                    out.append((surface, hit[0], hit[1], 1.0, cands))
+                    continue
+                if items is None:
                     out.append((surface, None, None, None, []))
                     continue
-                sims = prefix_emb[p] @ embedder.encode([surface])[0]
                 best = int(np.argmax(sims))
                 if sims[best] >= match_thresh:
                     out.append(
-                        (surface, items[best][0], items[best][1], float(sims[best]),
-                         _cands(surface, items[best][2]))
+                        (surface, items[best][0], items[best][1],
+                         float(sims[best]), cands)
                     )
                 else:
-                    out.append((surface, None, None, None, _cands(surface, None)))
+                    out.append((surface, None, None, None, cands))
             yield pd.DataFrame(
                 out,
                 columns=["surface", "entity_id", "matched_name", "link_score",

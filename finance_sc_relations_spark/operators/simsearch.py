@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..util import ensure_parallelism as _parallelize
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -56,7 +57,7 @@ def brute_force_topk(
 
     Self-matches (same id) are excluded. The corpus side is the big side;
     queries are broadcast when small."""
-    c = corpus.select(
+    c = _parallelize(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
         _norm(vec_col).alias("cnorm"),
@@ -124,9 +125,9 @@ def lsh_signatures(
                     ).reshape(-1)}
             yield pd.DataFrame(rows)
 
-    return df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)).mapInPandas(
-        _map, schema=schema
-    )
+    return _parallelize(
+        df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    ).mapInPandas(_map, schema=schema)
 
 
 def _collect_training_sample(
@@ -199,7 +200,7 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, n_probe: int,
                 }
             )
 
-    return df.mapInPandas(_map, schema=schema)
+    return _parallelize(df).mapInPandas(_map, schema=schema)
 
 
 def ivf_topk(
