@@ -84,10 +84,15 @@ def ngram_jaccard_pairs(
     hits on web corpora. Candidates are verified by exact array_intersect,
     so the result is identical to the naive join (no silent truncation —
     nothing is dropped, high-df grams still count via the verify step)."""
+    from pyspark import StorageLevel
+
     docs = _parallelize(docs)
     grams = docs.select(
         F.col(id_col).alias("id"), _ngram_col(text_col, n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
+    # three consumers (posting explode + both verify sides) — without this
+    # the O(len·n) gram-array build re-runs per consumer
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
     gram_df = exploded.groupBy("gram").agg(F.count("*").alias("df"))
     # global canonical order: (df asc, gram asc); rarest grams first

@@ -193,6 +193,105 @@ def _prefix2(name: str, prefix_len: int = 2) -> str:
     return normalize_name(name)[:prefix_len]
 
 
+def link_surfaces_distributed(
+    surfaces: DataFrame,
+    company_dict: DataFrame,
+    cand_thresh: float = 0.8,
+    match_thresh: float = 0.95,
+    top_k: int = 5,
+) -> DataFrame:
+    """Large-dictionary linking tier — same output contract as link_surfaces,
+    for dictionaries too big to broadcast (SURVEY §1.1: the reference's
+    DynamoDB GSI holds the full company universe; a 10^8-row dictionary
+    cannot ride a Spark broadcast).
+
+    Mechanism: explode the dictionary to (prefix2, form, entity_id,
+    canonical) rows IN SPARK, cogroup with the distinct surfaces on the
+    prefix2 blocking key, and score each block in pandas — the identical
+    math as the broadcast tier, but the dictionary stays distributed and the
+    shuffle key is the bounded-cardinality blocking prefix (AQE splits a
+    skewed block). Exact ties across entities resolve by min entity_id
+    (deterministic under any partitioning)."""
+    forms = company_dict.select(
+        "entity_id",
+        "canonical_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("canonical_name")),
+                F.coalesce("aliases", F.array()),
+            )
+        ).alias("form"),
+    ).select(
+        "entity_id",
+        "canonical_name",
+        "form",
+        F.substring(normalized_name_col("form"), 1, 2).alias("prefix2"),
+    )
+    surf = (
+        surfaces.select("surface")
+        .distinct()
+        .withColumn("prefix2", F.substring(normalized_name_col("surface"), 1, 2))
+    )
+
+    def _score_block(surf_pdf: pd.DataFrame, dict_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(surf_pdf) == 0:
+            return pd.DataFrame(
+                columns=["surface", "entity_id", "matched_name", "link_score",
+                         "candidates"]
+            )
+        embedder = HashEmbedder()
+        dict_pdf = dict_pdf.sort_values(["form", "entity_id"])
+        items = list(
+            dict_pdf[["entity_id", "canonical_name", "form"]].itertuples(
+                index=False, name=None
+            )
+        )
+        exact = {}
+        for entity_id, canonical, form in items:
+            exact.setdefault(form, (entity_id, canonical))
+        block_emb = embedder.encode([f for _, _, f in items]) if items else None
+        out = []
+        for surface in surf_pdf["surface"]:
+            if not items:
+                out.append((surface, None, None, None, []))
+                continue
+            sims = block_emb @ embedder.encode([surface])[0]
+            cands = []
+            for idx in np.argsort(-sims):
+                s = float(sims[idx])
+                if s < cand_thresh or len(cands) >= top_k:
+                    break
+                if s >= match_thresh:
+                    continue
+                entity_id, canonical, form = items[idx]
+                cands.append({"name": form, "entity_id": entity_id, "score": s})
+            hit = exact.get(surface)
+            if hit is not None:
+                out.append((surface, hit[0], hit[1], 1.0, cands))
+                continue
+            best = int(np.argmax(sims))
+            if sims[best] >= match_thresh:
+                out.append(
+                    (surface, items[best][0], items[best][1],
+                     float(sims[best]), cands)
+                )
+            else:
+                out.append((surface, None, None, None, cands))
+        return pd.DataFrame(
+            out,
+            columns=["surface", "entity_id", "matched_name", "link_score",
+                     "candidates"],
+        )
+
+    return (
+        surf.groupBy("prefix2")
+        .cogroup(forms.groupBy("prefix2"))
+        .applyInPandas(
+            lambda left, right: _score_block(left, right), schema=LINKED_SCHEMA
+        )
+    )
+
+
 def canonicalize_unmatched(
     linked: DataFrame,
     alias_edges: DataFrame | None = None,

@@ -30,7 +30,11 @@ from ..operators.graph import (
     emit_triples,
     link_triples,
 )
-from ..operators.linking import canonicalize_unmatched, link_surfaces
+from ..operators.linking import (
+    canonicalize_unmatched,
+    link_surfaces,
+    link_surfaces_distributed,
+)
 
 
 @dataclass
@@ -57,6 +61,14 @@ class PipelineConfig:
     # scorer for a checkpoint-loaded BatchModel (the GPU transformer
     # drop-in seam), deserialized once per executor.
     re_model_broadcast: object = None
+    # None = auto: use the distributed (cogroup-by-prefix) linking tier when
+    # the dictionary exceeds max_broadcast_dict_rows; True/False forces.
+    # The NER gazetteer always needs a driver-side dict — above the
+    # threshold it takes the first max_broadcast_dict_rows entries
+    # (production setup: bounded gazetteer for detection, full dictionary
+    # for linking).
+    distributed_linking: bool | None = None
+    max_broadcast_dict_rows: int = 2_000_000
     extra: dict = field(default_factory=dict)
 
 
@@ -70,10 +82,19 @@ def run_pipeline(
     stage name (callers persist what they need)."""
     cfg = config or PipelineConfig()
 
-    # Collect the (small) dictionary ONCE; it feeds both the NER gazetteer
-    # and the linking stage as a broadcast.
-    company_pdf = company_dict.select(
+    # Decide the linking tier BEFORE collecting: a 10^8-row dictionary must
+    # never ride toPandas (SURVEY §1.1 — the large-dict case stays
+    # distributed; the NER gazetteer is capped instead).
+    use_distributed_linking = cfg.distributed_linking
+    dict_cols = company_dict.select(
         "entity_id", "canonical_name", "prefix2", "aliases"
+    )
+    if use_distributed_linking is None:
+        use_distributed_linking = dict_cols.count() > cfg.max_broadcast_dict_rows
+    company_pdf = (
+        dict_cols.limit(cfg.max_broadcast_dict_rows)
+        if use_distributed_linking
+        else dict_cols
     ).toPandas()
 
     sentences = segment_sentences(pages, lang=cfg.lang)
@@ -132,10 +153,16 @@ def run_pipeline(
         .unionByName(triples.select(triples.obj_surface.alias("surface")))
         .distinct()
     )
-    linked_surfaces = link_surfaces(
-        surfaces, company_pdf,
-        cand_thresh=cfg.cand_thresh, match_thresh=cfg.match_thresh,
-    )
+    if use_distributed_linking:
+        linked_surfaces = link_surfaces_distributed(
+            surfaces, company_dict,
+            cand_thresh=cfg.cand_thresh, match_thresh=cfg.match_thresh,
+        )
+    else:
+        linked_surfaces = link_surfaces(
+            surfaces, company_pdf,
+            cand_thresh=cfg.cand_thresh, match_thresh=cfg.match_thresh,
+        )
     alias_edges = build_alias_edges(mentions)
     surface_to_entity = canonicalize_unmatched(
         linked_surfaces,

@@ -189,3 +189,56 @@ def test_doc_relations_carry_candidate_ids(spark):
     pdf = agg.toPandas()
     assert len(pdf) > 0
     assert pdf["company_entity_id"].notna().any()
+
+
+def test_distributed_linking_equals_broadcast_tier(spark):
+    """The cogroup-by-prefix large-dictionary tier must produce the same
+    links AND candidate lists as the broadcast tier."""
+    from finance_sc_relations_spark.operators.linking import (
+        link_surfaces_distributed,
+    )
+
+    cd = spark.createDataFrame(company_universe())
+    surfaces = spark.createDataFrame(
+        [("Sonexa",), ("Sonexa Corporation",), ("Veltrix Systems",),
+         ("Quantrix Semiconductors Corp",), ("Totally Unknown Ventures LLC",),
+         ("Quantrix",)],
+        "surface string",
+    )
+
+    def norm(df):
+        return {
+            r["surface"]: (
+                r["entity_id"], r["matched_name"],
+                None if r["link_score"] is None else round(r["link_score"], 5),
+                tuple((c["name"], c["entity_id"], round(c["score"], 5))
+                      for c in sorted(r["candidates"],
+                                      key=lambda c: (-c["score"], c["name"]))),
+            )
+            for r in df.collect()
+        }
+
+    broadcast_out = norm(link_surfaces(surfaces, cd))
+    distributed_out = norm(link_surfaces_distributed(surfaces, cd))
+    assert broadcast_out == distributed_out
+
+
+def test_pipeline_with_forced_distributed_linking(spark):
+    """run_pipeline with distributed_linking=True yields the same linked
+    triples as the broadcast tier on the fixture corpus."""
+    from finance_sc_relations_spark.fixtures import generate_corpus
+
+    pages_pdf, _, companies_pdf = generate_corpus(40)
+    outs = []
+    for dist in (False, True):
+        out = run_pipeline(
+            spark,
+            spark.createDataFrame(pages_pdf),
+            spark.createDataFrame(companies_pdf),
+            PipelineConfig(distributed_linking=dist),
+        )
+        outs.append(sorted(
+            (r["sentence_id"], r["subj_id"], r["obj_id"])
+            for r in out["linked_triples"].collect()
+        ))
+    assert outs[0] == outs[1] and len(outs[0]) > 0
