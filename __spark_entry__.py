@@ -361,6 +361,100 @@ FROM outs FULL OUTER JOIN ins ON outs.entity_id = ins.entity_id
 """
 
 
+def _q_khop_2(spark, sf_dir):
+    """2-hop reachability over the supplier->customer edge graph (the k-hop
+    traversal operator, operators/graph.py::k_hop_paths) on a bounded
+    subgraph (suppliers of nation 0 as sources)."""
+    from finance_sc_relations_spark.operators.graph import k_hop_paths
+
+    edges = _supply_edges(spark, sf_dir).select("subj_id", "obj_id")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 0)
+    sub = edges.join(
+        F.broadcast(sup.select(F.col("s_suppkey").alias("subj_id"))),
+        "subj_id", "left_semi",
+    )
+    # hop 2 = supplier -> customer -> ??? ; customers have no out-edges in
+    # this bipartite graph, so chain through a customer->customer projection:
+    # two customers sharing >= 200 common suppliers form a co-purchase edge.
+    a = edges.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_a"))
+    b = edges.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_b"))
+    co = (
+        a.join(b, "s")
+        .filter(F.col("c_a") != F.col("c_b"))
+        .groupBy("c_a", "c_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 200)
+        .select(F.col("c_a").alias("subj_id"), F.col("c_b").alias("obj_id"))
+    )
+    graph = sub.unionByName(co).distinct()
+    paths = k_hop_paths(graph, k=2)
+    return paths.select(
+        "src", "dst", F.col("hops").cast("long").alias("hops")
+    )
+
+
+_KHOP_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l.l_suppkey AS subj_id, o.o_custkey AS obj_id
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), sub AS (
+  SELECT e.* FROM edges e
+  JOIN supplier s ON e.subj_id = s.s_suppkey AND s.s_nationkey = 0
+), co AS (
+  SELECT a.obj_id AS subj_id, b.obj_id AS obj_id
+  FROM edges a JOIN edges b ON a.subj_id = b.subj_id AND a.obj_id != b.obj_id
+  GROUP BY 1, 2 HAVING count(*) >= 200
+), graph AS (
+  SELECT DISTINCT * FROM (SELECT * FROM sub UNION ALL SELECT * FROM co)
+), hop1 AS (
+  SELECT subj_id AS src, obj_id AS dst, CAST(1 AS BIGINT) AS hops FROM graph
+), hop2 AS (
+  SELECT DISTINCT p.src, g.obj_id AS dst, CAST(2 AS BIGINT) AS hops
+  FROM hop1 p JOIN graph g ON p.dst = g.subj_id
+  WHERE p.src != g.obj_id
+)
+-- k_hop_paths(k) returns the k-th frontier only
+SELECT * FROM hop2
+"""
+
+
+def _q_doc_quality(spark, sf_dir):
+    """Full quality-scoring surface (length/punct/stopword composite) as
+    integer basis points."""
+    stats = T.text_stats(_t(spark, sf_dir, "documents"))
+    return stats.select(
+        "doc_id",
+        F.round(F.col("stopword_ratio") * 10000).cast("long").alias("stopword_bp"),
+        F.round(F.col("quality") * 10000).cast("long").alias("quality_bp"),
+    )
+
+
+_DOC_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+), ratios AS (
+  SELECT doc_id, text, punct_ratio,
+         CASE WHEN len(words) > 0
+              THEN len(list_intersect(words, ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','that','the','to','was','were','will','with'])) * 1.0
+                   / len(list_distinct(words))
+              ELSE 0.0 END AS stopword_ratio
+  FROM base
+)
+SELECT doc_id,
+       CAST(round(round(stopword_ratio, 4) * 10000) AS BIGINT) AS stopword_bp,
+       -- quality uses the UNrounded stopword ratio, like the Spark column
+       CAST(round(round(least(length(text) / 500.0, 1.0) * 0.4
+             + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
+             + least(stopword_ratio * 4.0, 1.0) * 0.3, 4) * 10000) AS BIGINT) AS quality_bp
+FROM ratios
+"""
+
+
 def _q_sql_interface(spark, sf_dir):
     """S2: the SQL surface — the same engine through spark.sql over
     registered views (the Athena-source analog, glue_etl.py:824-886)."""
@@ -845,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": _q_sql_interface,
         "events_daily": _q_events_daily,
         "skewed_user_agg": _q_skewed_user_agg,
+        "khop_2": _q_khop_2,
+        "doc_quality": _q_doc_quality,
         "clean_text": _q_clean_text,
         "segment_sentences": _q_segment,
         "token_stats": _q_token_stats,
@@ -881,6 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_interface": _SQL_INTERFACE_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
         "skewed_user_agg": _SKEWED_USER_SQL,
+        "khop_2": _KHOP_SQL,
+        "doc_quality": _DOC_QUALITY_SQL,
         "clean_text": _CLEAN_TEXT_SQL,
         "segment_sentences": _SEGMENT_SQL,
         "token_stats": _TOKEN_STATS_SQL,

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.01"
 SHOW = [
     "supply_edges", "pricing_summary", "filtered_scan_isin",
     "anti_join_incremental", "topk_window", "skewed_user_agg",
-    "clean_text", "word_jaccard_pairs", "embedding_near_dups",
+    "clean_text", "word_jaccard_pairs", "embedding_near_dups", "khop_2",
 ]
 
 
