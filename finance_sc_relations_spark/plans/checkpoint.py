@@ -221,8 +221,18 @@ def run_pipeline_checkpointed(
 
     pages = spark.read.parquet(pages_path)
     company_dict = spark.read.parquet(company_dict_path)
-    company_pdf = company_dict.select(
+    # same tier dispatch as plans.pipeline: never collect a dictionary
+    # bigger than the broadcast threshold; cap the NER gazetteer instead
+    dict_cols = company_dict.select(
         "entity_id", "canonical_name", "prefix2", "aliases"
+    )
+    use_distributed_linking = cfg.distributed_linking
+    if use_distributed_linking is None:
+        use_distributed_linking = dict_cols.count() > cfg.max_broadcast_dict_rows
+    company_pdf = (
+        dict_cols.limit(cfg.max_broadcast_dict_rows)
+        if use_distributed_linking
+        else dict_cols
     ).toPandas()
 
     n_part = cfg.model_partitions or spark.sparkContext.defaultParallelism * 2
@@ -276,10 +286,18 @@ def run_pipeline_checkpointed(
             .unionByName(triples.select(F.col("obj_surface").alias("surface")))
             .distinct()
         )
-        linked_surfaces = link_surfaces(
-            surfaces, company_pdf,
-            cand_thresh=cfg.cand_thresh, match_thresh=cfg.match_thresh,
-        )
+        if use_distributed_linking:
+            from ..operators.linking import link_surfaces_distributed
+
+            linked_surfaces = link_surfaces_distributed(
+                surfaces, company_dict,
+                cand_thresh=cfg.cand_thresh, match_thresh=cfg.match_thresh,
+            )
+        else:
+            linked_surfaces = link_surfaces(
+                surfaces, company_pdf,
+                cand_thresh=cfg.cand_thresh, match_thresh=cfg.match_thresh,
+            )
         alias_edges = build_alias_edges(mentions)
         s2e = canonicalize_unmatched(
             linked_surfaces, alias_edges.select("target", "alias")

@@ -58,6 +58,10 @@ def stream_extract_triples(
     from ..plans.pipeline import PipelineConfig, run_pipeline
 
     cfg = config or PipelineConfig()
+    if cfg.distributed_linking is None:
+        # the dict arrives as a pandas frame here — by definition broadcast
+        # sized; pin the tier so no micro-batch pays a dispatch count() job
+        cfg.distributed_linking = False
     stream = stream_pages(spark, pages_dir)
     company_dict = spark.createDataFrame(company_dict_pdf)
 
