@@ -223,7 +223,9 @@ interface.
 
 Scale smoke (memory behavior at 5x the bench workload): 500,000 fixture
 pages (~2.4M sentences) through the full pipeline on local[16], 64
-partitions: 1,276,565 linked triples in 88.2 s (14,471 triples/s), 39,494
+partitions: 1,276,565 linked triples in 61.0 s (20,927 triples/s; round-1
+measured 88.2 s on the same workload — the round-2 operator work carried
+over), 39,494
 salted global edges, 200 canonical vertices; persisted intermediates fit
 MEMORY_AND_DISK comfortably within the 8 GiB heap.
 
