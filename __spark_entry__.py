@@ -922,6 +922,31 @@ FROM read_parquet('/root/repo/data/expected/sf0.01/multimodal_features.parquet')
 """
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (offsets from typed metadata; decode
+    stubbed as a deterministic digest). Oracle: offsets + digests recomputed
+    in plain Python (scripts/gen_expected.py)."""
+    from finance_sc_relations_spark.operators.multimodal import (
+        make_synthetic_media,
+        sample_frames,
+    )
+
+    media = make_synthetic_media(spark, n=30)
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "offset_ms",
+        F.hex(F.col("frame_payload")).alias("frame_sha"),
+    ).withColumn("frame_sha", F.lower("frame_sha"))
+
+
+_MULTIMODAL_FRAMES_SQL = """
+SELECT media_id, frame_index, offset_ms, frame_sha
+FROM read_parquet('/root/repo/data/expected/sf0.01/multimodal_frames.parquet')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "supply_edges": _supply_edges,
@@ -957,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -995,4 +1021,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_fixture": _KG_TRIPLES_SQL,
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     }

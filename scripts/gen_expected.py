@@ -226,6 +226,24 @@ def gen_multimodal(n=30) -> pd.DataFrame:
     )
 
 
+def gen_multimodal_frames(n=30, every_ms=1000) -> pd.DataFrame:
+    """Frame offsets + deterministic digests, replicated in plain Python
+    (mirrors operators/multimodal.py::sample_frames semantics)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.blake2b(f"media{i}".encode(), digest_size=64).digest()
+        mtype = ["image", "audio", "video"][i % 3]
+        duration = 5000 if mtype in ("audio", "video") else 0
+        for fi, off in enumerate(range(0, duration, every_ms)):
+            digest = hashlib.blake2b(
+                payload + off.to_bytes(8, "big"), digest_size=16
+            ).hexdigest()
+            rows.append((i, fi, off, digest))
+    return pd.DataFrame(
+        rows, columns=["media_id", "frame_index", "offset_ms", "frame_sha"]
+    ).astype({"media_id": "int64", "frame_index": "int64", "offset_ms": "int64"})
+
+
 def gen_doc_relations_snapshot() -> pd.DataFrame:
     """Pinned regression snapshot — the one table produced BY the operator."""
     from finance_sc_relations_spark.session import build_session
@@ -248,6 +266,7 @@ def main() -> None:
         "lang_id": gen_lang_id(),
         "kg_triples_gold": gen_kg_gold(),
         "multimodal_features": gen_multimodal(),
+        "multimodal_frames": gen_multimodal_frames(),
     }
     for name, df in tables.items():
         df.to_parquet(OUT / f"{name}.parquet", index=False)
