@@ -28,6 +28,10 @@ from pyspark.sql.window import Window
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# expected-output oracle fixtures travel with the repo — resolve relative
+# to this file so the oracle SQL works from any checkout location
+_EXPECTED_DIR = str(Path(__file__).resolve().parent / "data" / "expected" / "sf0.01")
+
 from finance_sc_relations_spark.operators import dedup as D  # noqa: E402
 from finance_sc_relations_spark.operators import simsearch as S  # noqa: E402
 from finance_sc_relations_spark.operators import text_stats as T  # noqa: E402
@@ -682,9 +686,9 @@ def _q_minhash_pairs(spark, sf_dir):
     )
 
 
-_MINHASH_SQL = """
+_MINHASH_SQL = f"""
 SELECT id_a, id_b, est_bp
-FROM read_parquet('/root/repo/data/expected/sf0.01/minhash_pairs.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/minhash_pairs.parquet')
 """
 
 
@@ -697,9 +701,9 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
-_SIMHASH_SQL = """
+_SIMHASH_SQL = f"""
 SELECT id_a, id_b, hamming
-FROM read_parquet('/root/repo/data/expected/sf0.01/simhash_pairs.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/simhash_pairs.parquet')
 """
 
 
@@ -775,10 +779,10 @@ def _q_ann_lsh_topk(spark, sf_dir):
     )
 
 
-_ANN_LSH_SQL = """
+_ANN_LSH_SQL = f"""
 WITH cand AS (
   SELECT query_id, vec_id
-  FROM read_parquet('/root/repo/data/expected/sf0.01/ann_lsh_cands.parquet')
+  FROM read_parquet('{_EXPECTED_DIR}/ann_lsh_cands.parquet')
 ), scored AS (
   SELECT c.query_id, c.vec_id,
          round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
@@ -811,10 +815,10 @@ def _q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-_ANN_IVF_SQL = """
+_ANN_IVF_SQL = f"""
 WITH cand AS (
   SELECT query_id, vec_id
-  FROM read_parquet('/root/repo/data/expected/sf0.01/ann_ivf_cands.parquet')
+  FROM read_parquet('{_EXPECTED_DIR}/ann_ivf_cands.parquet')
 ), scored AS (
   SELECT c.query_id, c.vec_id,
          round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
@@ -840,9 +844,9 @@ def _q_lang_id(spark, sf_dir):
     )
 
 
-_LANG_ID_SQL = """
+_LANG_ID_SQL = f"""
 SELECT doc_id, detected_lang
-FROM read_parquet('/root/repo/data/expected/sf0.01/lang_id.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/lang_id.parquet')
 """
 
 
@@ -868,9 +872,9 @@ def _q_kg_triples_fixture(spark, sf_dir):
 
 # The oracle is the GENERATOR's planted gold triples (fixtures.py writes them
 # independently of the extraction pipeline) — a true P/R=1 contract check.
-_KG_TRIPLES_SQL = """
+_KG_TRIPLES_SQL = f"""
 SELECT DISTINCT sentence_id, subj_id, pred, obj_id
-FROM read_parquet('/root/repo/data/expected/sf0.01/kg_triples_gold.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/kg_triples_gold.parquet')
 """
 
 
@@ -895,9 +899,9 @@ def _q_doc_relations_fixture(spark, sf_dir):
 
 # Pinned regression snapshot (produced once by this operator, semantics
 # covered by tests/test_reporter_readers.py) — catches silent drift.
-_DOC_RELATIONS_SQL = """
+_DOC_RELATIONS_SQL = f"""
 SELECT url, company, relationship, CAST(n_evidence AS BIGINT) AS n_evidence
-FROM read_parquet('/root/repo/data/expected/sf0.01/doc_relations_snapshot.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/doc_relations_snapshot.parquet')
 """
 
 
@@ -916,9 +920,9 @@ def _q_multimodal_features(spark, sf_dir):
 
 # Expected shas/sizes recomputed in plain Python over the same deterministic
 # payload generation (scripts/gen_expected.py).
-_MULTIMODAL_SQL = """
+_MULTIMODAL_SQL = f"""
 SELECT media_id, n_bytes, content_sha
-FROM read_parquet('/root/repo/data/expected/sf0.01/multimodal_features.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/multimodal_features.parquet')
 """
 
 
@@ -941,9 +945,9 @@ def _q_multimodal_frames(spark, sf_dir):
     ).withColumn("frame_sha", F.lower("frame_sha"))
 
 
-_MULTIMODAL_FRAMES_SQL = """
+_MULTIMODAL_FRAMES_SQL = f"""
 SELECT media_id, frame_index, offset_ms, frame_sha
-FROM read_parquet('/root/repo/data/expected/sf0.01/multimodal_frames.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/multimodal_frames.parquet')
 """
 
 
