@@ -43,6 +43,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fact(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fact-table read. The single-file fixtures arrive as ONE unsplittable
+    parquet row group (verified with pyarrow), which serializes the whole
+    scan -> broadcast-join -> partial-agg pipeline into one task; at real
+    scale inputs carry many partitions and ensure_parallelism is a no-op."""
+    from finance_sc_relations_spark.util import ensure_parallelism
+
+    return ensure_parallelism(_t(spark, sf_dir, name))
+
+
 def _cents(col) -> F.Column:
     """Per-row integer cents: floor(x*100 + 0.5) is bit-identical double math
     in Spark and DuckDB, and integer sums are order-independent — this is how
@@ -60,8 +70,8 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Joins: lineitem⋈orders is fact⋈fact — NO broadcast hint (orders grows
     with the corpus; AQE picks SMJ/shuffled-hash and handles skew). Only the
     bounded dims (customer, supplier) are broadcast."""
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    lineitem = _fact(spark, sf_dir, "lineitem")
+    orders = _fact(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
     return (
@@ -180,7 +190,7 @@ WHERE c_custkey NOT IN (
 
 def _q_topk_window(spark, sf_dir):
     """Top-k per group via window (L4 candidate-ranking analog)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _fact(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -284,7 +294,7 @@ GROUP BY 1
 
 def _q_region_revenue(spark, sf_dir):
     """Multi-dim broadcast join chain (supplier->nation->region rollup)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _fact(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
@@ -462,8 +472,8 @@ FROM ratios
 def _q_sql_interface(spark, sf_dir):
     """S2: the SQL surface — the same engine through spark.sql over
     registered views (the Athena-source analog, glue_etl.py:824-886)."""
-    for t in ("lineitem", "part"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    _fact(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(
         """
         SELECT p.p_brand,

@@ -74,6 +74,10 @@ def bench_default() -> None:
         queries[name] = round(time.perf_counter() - t0, 3)
 
     qs = E.queries()
+    # Warm-up (untimed), mirroring the KG warm-up below: the first query
+    # otherwise absorbs one-off JVM codegen + python-worker startup, which
+    # is session cost, not query cost.
+    qs["supply_edges"](spark, SF_DIR).count()
     # Relational headline set (foreachPartition-free: count() forces full exec)
     for name in [
         "supply_edges", "pricing_summary", "region_revenue", "topk_window",
