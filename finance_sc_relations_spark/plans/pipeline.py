@@ -168,7 +168,15 @@ def run_pipeline(
         linked_surfaces,
         alias_edges.select("target", "alias"),
     )
+    if cfg.persist_intermediate:
+        # surface_to_entity feeds link_triples AND build_vertices; linked
+        # feeds edges, edges_global, vertices and the caller's first action —
+        # without persisting, every downstream action recomputes the whole
+        # linking subtree (measured ~17s per action at 100k pages).
+        surface_to_entity = surface_to_entity.persist(StorageLevel.MEMORY_AND_DISK)
     linked = link_triples(triples, surface_to_entity.select("surface", "entity_id"))
+    if cfg.persist_intermediate:
+        linked = linked.persist(StorageLevel.MEMORY_AND_DISK)
     edges = build_edges(linked)
     edges_global = build_edges_global(linked, salt_buckets=cfg.salt_buckets)
     vertices = build_vertices(linked, surface_to_entity)
