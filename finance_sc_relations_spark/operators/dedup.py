@@ -44,10 +44,20 @@ from ..util import ensure_parallelism as _parallelize
 # ---------------------------------------------------------------------------
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the smallest id per fingerprint (deterministic winner)."""
-    fp = _parallelize(docs).withColumn("fingerprint", fingerprint_col(text_col))
-    winners = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    return winners.join(fp, [id_col, "fingerprint"], "inner").drop("fingerprint")
+    """Keep the smallest id per fingerprint (deterministic winner).
+
+    ONE shuffle: window row_number over the fingerprint (the groupBy-min +
+    join-back form costs an extra join shuffle for the same result)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        _parallelize(docs)
+        .withColumn("fingerprint", fingerprint_col(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -213,6 +213,62 @@ def vertex_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank over the (subj_id, obj_id) edge table by join-based power
+    iteration — the canonical iterative-algorithm shape on Spark (each step
+    is one equi-join shuffle on src + one groupBy on dst; lineage is cut
+    with localCheckpoint every few iterations so the plan doesn't grow
+    unboundedly; dangling mass is redistributed uniformly so ranks sum to N).
+
+    Returns (entity_id, rank double). Deterministic for a given graph."""
+    verts = (
+        edges.select(F.col("subj_id").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj_id").alias("entity_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    out_deg = edges.groupBy(F.col("subj_id").alias("entity_id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    # (src, dst, 1/out_degree(src)) transition weights — static per run
+    trans = (
+        edges.select(F.col("subj_id").alias("entity_id"), F.col("obj_id").alias("dst"))
+        .join(out_deg, "entity_id")
+        .select("entity_id", "dst", (F.lit(1.0) / F.col("out_degree")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for i in range(iterations):
+        contribs = (
+            trans.join(ranks, "entity_id")
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        # dangling nodes (no out-edges) leak their mass; spread it uniformly
+        dangling = (
+            ranks.join(out_deg, "entity_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        ranks = verts.join(contribs, "entity_id", "left").select(
+            "entity_id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def build_alias_edges(mentions: DataFrame) -> DataFrame:
     """Alias edge table: one row per (url, alias, target) discovered by the
     alias matcher (L11, reporter.py:359-384)."""

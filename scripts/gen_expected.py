@@ -226,6 +226,45 @@ def gen_multimodal(n=30) -> pd.DataFrame:
     )
 
 
+def gen_pagerank(iterations=10, damping=0.85) -> pd.DataFrame:
+    """Independent numpy power iteration over the supply-edges graph
+    (lineitem⋈orders DISTINCT pairs) — cross-impl divergence vs Spark is
+    ~1e-15 while the nearest 3-decimal rounding boundary is >1e-4 on this
+    fixture (verified), so the quantized values are hash-stable."""
+    import collections
+
+    epdf = duckdb.sql(
+        f"""SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS d
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"""
+    ).df()
+    nodes = sorted(set(epdf.s) | set(epdf.d))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = collections.defaultdict(list)
+    for s, d in zip(epdf.s, epdf.d):
+        adj[idx[s]].append(idx[d])
+    r = np.ones(n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for i in range(n):
+            targets = adj.get(i)
+            if targets:
+                c = r[i] / len(targets)
+                for t in targets:
+                    contrib[t] += c
+            else:
+                dangling += r[i]
+        r = (1 - damping) + damping * (contrib + dangling / n)
+    return pd.DataFrame(
+        {
+            "entity_id": pd.array(nodes, dtype="int64"),
+            "rank_pm": np.floor(r * 1000 + 0.5).astype("int64"),
+        }
+    )
+
+
 def gen_multimodal_frames(n=30, every_ms=1000) -> pd.DataFrame:
     """Frame offsets + deterministic digests, replicated in plain Python
     (mirrors operators/multimodal.py::sample_frames semantics)."""
@@ -267,6 +306,7 @@ def main() -> None:
         "kg_triples_gold": gen_kg_gold(),
         "multimodal_features": gen_multimodal(),
         "multimodal_frames": gen_multimodal_frames(),
+        "pagerank": gen_pagerank(),
     }
     for name, df in tables.items():
         df.to_parquet(OUT / f"{name}.parquet", index=False)

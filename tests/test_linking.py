@@ -242,3 +242,18 @@ def test_pipeline_with_forced_distributed_linking(spark):
             for r in out["linked_triples"].collect()
         ))
     assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_pagerank_power_iteration(spark):
+    """Join-based PageRank: ranks sum to ~n (dangling mass redistributed),
+    a hub pointed to by everyone outranks leaves, deterministic."""
+    from finance_sc_relations_spark.operators.graph import pagerank
+
+    edges = [(f"n{i}", "hub") for i in range(10)]
+    edges += [("hub", "n0")]
+    df = spark.createDataFrame(edges, "subj_id string, obj_id string")
+    pr = {r["entity_id"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+    assert abs(sum(pr.values()) - len(pr)) < 1e-6
+    assert pr["hub"] > pr["n1"] and pr["n0"] > pr["n1"]
+    pr2 = {r["entity_id"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+    assert pr == pr2
