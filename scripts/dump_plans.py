@@ -24,7 +24,13 @@ def main() -> None:
     spark = build_session(master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
-    out = ["# Physical plans of headline queries (sf0.01, AQE on)\n"]
+    out = [
+        "# Physical plans of headline queries (sf0.01, AQE on)\n",
+        "Note: fact-table reads go through ensure_parallelism, so plans at\n"
+        "this SF show a leading round-robin Exchange — the fixture parquet\n"
+        "files are single-row-group (unsplittable); on real multi-partition\n"
+        "inputs that node disappears (the helper is a no-op).\n",
+    ]
     for name in SHOW:
         df = qs[name](spark, SF)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
