@@ -740,6 +740,22 @@ FROM read_parquet('{_EXPECTED_DIR}/simhash_pairs.parquet')
 """
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """The dedup DECISION layer: MinHash pairs -> connected components ->
+    min-id canonical per cluster. Oracle: union-find over the independently
+    computed pair set (scripts/gen_expected.py) — a second algorithm checks
+    the Spark min-label propagation."""
+    return D.near_dup_clusters(
+        _t(spark, sf_dir, "documents"), num_perm=64, bands=16, threshold=0.5
+    )
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+SELECT doc_id, cluster_id, is_canonical
+FROM read_parquet('{_EXPECTED_DIR}/dedup_clusters.parquet')
+"""
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the LSH-bucketed SCALE path
     (random-hyperplane candidates + exact-cosine verify — never a cross
@@ -1011,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_brute_topk": _q_ann_brute_topk,
@@ -1053,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _EMBEDDING_NEAR_DUP_SQL,
         "ann_brute_topk": _ANN_BRUTE_SQL,
         "minhash_lsh_pairs": _MINHASH_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

@@ -441,3 +441,61 @@ def embedding_near_dup_pairs_lsh(
     return verified.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster layer: pairs -> connected components -> canonical winner
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+    **minhash_params,
+) -> DataFrame:
+    """The dedup DECISION layer: (doc_id, cluster_id, is_canonical).
+
+    Connected components over the near-dup pair graph (default: MinHash+LSH
+    pairs) by iterative min-label propagation — the same O(log diameter)
+    join loop as entity canonicalization; each pass is one shuffle on id.
+    cluster_id = min doc_id in the component; is_canonical marks the one
+    row per cluster a curation pipeline keeps. Singletons are their own
+    canonical cluster."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col=id_col, **minhash_params)
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iterations):
+        frontier = labels
+        neighbor_min = (
+            edges.join(frontier, edges.a == frontier.id, "inner")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

@@ -226,6 +226,29 @@ def gen_multimodal(n=30) -> pd.DataFrame:
     )
 
 
+def gen_dedup_clusters() -> pd.DataFrame:
+    """Union-find over the independently-computed minhash pair set — checks
+    the Spark min-label-propagation components against a second algorithm."""
+    pairs = gen_minhash()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = duckdb.sql(f"SELECT doc_id FROM '{SF}/documents.parquet' ORDER BY doc_id").df().doc_id
+    rows = [(int(i), find(int(i)), int(i) == find(int(i))) for i in ids]
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id", "is_canonical"]).astype(
+        {"doc_id": "int64", "cluster_id": "int64"}
+    )
+
+
 def gen_pagerank(iterations=10, damping=0.85) -> pd.DataFrame:
     """Independent numpy power iteration over the supply-edges graph
     (lineitem⋈orders DISTINCT pairs) — cross-impl divergence vs Spark is
@@ -307,6 +330,7 @@ def main() -> None:
         "multimodal_features": gen_multimodal(),
         "multimodal_frames": gen_multimodal_frames(),
         "pagerank": gen_pagerank(),
+        "dedup_clusters": gen_dedup_clusters(),
     }
     for name, df in tables.items():
         df.to_parquet(OUT / f"{name}.parquet", index=False)

@@ -235,3 +235,33 @@ def test_ivf_training_sample_is_driver_bounded(spark, embeddings):
     cents = S.train_ivf_centroids(embeddings, dim=16, n_cells=4,
                                   max_sample_rows=20)
     assert cents.shape == (4, 16)
+
+
+def test_near_dup_clusters_planted(spark, docs):
+    """Exact dups + the near-dup chain collapse into one cluster each with
+    the min doc_id canonical; the unrelated doc is its own cluster."""
+    # threshold 0.95: exact dups (est 1.0) pair; ~0.7-similar template
+    # siblings and the one-word near-dup (est just under) do not
+    out = D.near_dup_clusters(
+        docs, num_perm=64, bands=16, threshold=0.95
+    ).toPandas().set_index("doc_id")
+    assert out.loc[100, "cluster_id"] == 0 and not out.loc[100, "is_canonical"]
+    assert out.loc[0, "is_canonical"] and out.loc[0, "cluster_id"] == 0
+    assert out.loc[101, "cluster_id"] == 1
+    assert out.loc[103, "is_canonical"] and out.loc[103, "cluster_id"] == 103
+    # exactly one canonical per cluster
+    per = out.groupby("cluster_id")["is_canonical"].sum()
+    assert (per == 1).all()
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """Explicit pair graph: a-b, b-c, plus isolated d — one component with
+    min-id canonical, singleton untouched."""
+    docs = spark.createDataFrame(
+        [(10, "x"), (11, "x"), (12, "x"), (13, "y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], "id_a long, id_b long")
+    out = D.near_dup_clusters(docs, pairs=pairs).toPandas().set_index("doc_id")
+    assert set(out.loc[[10, 11, 12], "cluster_id"]) == {10}
+    assert out.loc[10, "is_canonical"] and not out.loc[11, "is_canonical"]
+    assert out.loc[13, "cluster_id"] == 13 and out.loc[13, "is_canonical"]
