@@ -233,6 +233,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(F.col("subj_id").alias("entity_id")).agg(
         F.count("*").alias("out_degree")
     )

@@ -105,6 +105,11 @@ def out_of_fold_scores(
         if fold_models
         else [r["fold"] for r in augmented.select("fold").distinct().collect()]
     )
+    if not folds:  # empty input — return an empty frame with the contract schema
+        spark = tagged.sparkSession
+        return spark.createDataFrame(
+            [], f"r_id string, scores array<float>, prediction string, {label_col} string"
+        )
     scored = None
     for fold in folds:
         part = augmented.filter(F.col("fold") == fold).select(

@@ -103,3 +103,17 @@ def test_vote_agreement(spark):
     assert out.loc[2, "higher_confident"] == "customer"  # 1.1 vs 0.4
     assert out.loc[3, "agreed_label"] == "other"
     assert abs(out.loc[1, "max_conf"] - 0.8) < 1e-6
+
+
+def test_empty_inputs_no_crash(spark):
+    from finance_sc_relations_spark.operators.graph import pagerank
+    from finance_sc_relations_spark.schemas import PAIRS
+
+    empty_edges = spark.createDataFrame([], "subj_id string, obj_id string")
+    assert pagerank(empty_edges, iterations=2).count() == 0
+    empty_tagged = spark.createDataFrame(
+        [], "fold int, url string, sentence_id string, r_id string, "
+            "sents string, entity1 string, entity2 string, "
+            "org_groups map<string,int>, relations string"
+    )
+    assert out_of_fold_scores(empty_tagged).count() == 0
