@@ -199,6 +199,7 @@ def link_surfaces_distributed(
     cand_thresh: float = 0.8,
     match_thresh: float = 0.95,
     top_k: int = 5,
+    salt_buckets: int = 4,
 ) -> DataFrame:
     """Large-dictionary linking tier — same output contract as link_surfaces,
     for dictionaries too big to broadcast (SURVEY §1.1: the reference's
@@ -209,9 +210,15 @@ def link_surfaces_distributed(
     canonical) rows IN SPARK, cogroup with the distinct surfaces on the
     prefix2 blocking key, and score each block in pandas — the identical
     math as the broadcast tier, but the dictionary stays distributed and the
-    shuffle key is the bounded-cardinality blocking prefix (AQE splits a
-    skewed block). Exact ties across entities resolve by min entity_id
-    (deterministic under any partitioning)."""
+    shuffle key is (prefix2, salt): a cogroup is ONE task per key, so a hot
+    prefix block (surname-like prefixes hold a disproportionate share of a
+    web corpus's surfaces) would otherwise become a straggler. Surfaces are
+    hash-salted into salt_buckets sub-blocks and the dictionary rows of the
+    block are replicated across them — identical output, bounded task size
+    (dict replication is salt_buckets x the BLOCK, not the dictionary).
+    Exact ties across entities resolve by min entity_id (deterministic
+    under any partitioning)."""
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
     forms = company_dict.select(
         "entity_id",
         "canonical_name",
@@ -226,11 +233,13 @@ def link_surfaces_distributed(
         "canonical_name",
         "form",
         F.substring(normalized_name_col("form"), 1, 2).alias("prefix2"),
+        F.explode(salts).alias("salt"),
     )
     surf = (
         surfaces.select("surface")
         .distinct()
         .withColumn("prefix2", F.substring(normalized_name_col("surface"), 1, 2))
+        .withColumn("salt", F.pmod(F.xxhash64("surface"), F.lit(salt_buckets)).cast("int"))
     )
 
     def _score_block(surf_pdf: pd.DataFrame, dict_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -284,8 +293,8 @@ def link_surfaces_distributed(
         )
 
     return (
-        surf.groupBy("prefix2")
-        .cogroup(forms.groupBy("prefix2"))
+        surf.groupBy("prefix2", "salt")
+        .cogroup(forms.groupBy("prefix2", "salt"))
         .applyInPandas(
             lambda left, right: _score_block(left, right), schema=LINKED_SCHEMA
         )

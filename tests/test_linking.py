@@ -257,3 +257,31 @@ def test_pagerank_power_iteration(spark):
     assert pr["hub"] > pr["n1"] and pr["n0"] > pr["n1"]
     pr2 = {r["entity_id"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
     assert pr == pr2
+
+
+def test_distributed_linking_salted_block_equality(spark):
+    """Salting the cogroup key must not change any link or candidate —
+    including a hot block where many surfaces share one prefix."""
+    from finance_sc_relations_spark.operators.linking import (
+        link_surfaces_distributed,
+    )
+
+    cd = spark.createDataFrame(company_universe())
+    hot = [(f"Sonexa Venture {i} LLC",) for i in range(40)]  # all prefix 'so'
+    surfaces = spark.createDataFrame(
+        hot + [("Sonexa",), ("Veltrix Systems",)], "surface string"
+    )
+
+    def norm(df):
+        return {
+            r["surface"]: (
+                r["entity_id"],
+                tuple(sorted((c["name"], round(c["score"], 5))
+                             for c in r["candidates"])),
+            )
+            for r in df.collect()
+        }
+
+    unsalted = norm(link_surfaces_distributed(surfaces, cd, salt_buckets=1))
+    salted = norm(link_surfaces_distributed(surfaces, cd, salt_buckets=4))
+    assert unsalted == salted and len(salted) == 42
