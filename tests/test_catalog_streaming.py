@@ -178,3 +178,41 @@ def test_stream_sink_idempotent_on_replay(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == n1  # replaced, not appended
     assert got.select("_batch_id").distinct().count() == 1
+
+
+def test_streaming_entity_ids_stable_across_batches(spark, tmp_path):
+    """The same dictionary-unknown company arriving in two different
+    micro-batches must canonicalize to the SAME entity id (SF: ids derive
+    from normalized surface forms, matched ids from the dictionary — both
+    batch-independent)."""
+    import pandas as pd
+    from datetime import datetime, timezone
+
+    from finance_sc_relations_spark.fixtures import company_universe
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    page = lambda i: dict(
+        url=f"https://news.example{i}.com/a/{i}",
+        warc_ts=ts,
+        html=b"",
+        text="Zorblatt Industries Inc supplies components to Sonexa Inc.",
+        lang="en",
+    )
+    src = tmp_path / "pages_stream3"
+    src.mkdir()
+    for b in (0, 1):
+        pdf = pd.DataFrame([page(b)])
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us, UTC]")
+        pdf.to_parquet(src / f"b{b}.parquet", index=False)
+
+    out_dir = str(tmp_path / "triples_out3")
+    q = stream_extract_triples(
+        spark, str(src), company_universe(), out_dir,
+        str(tmp_path / "ck_stable"),
+    ).start()
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).select("_batch_id", "subj_id", "obj_id").toPandas()
+    assert got["_batch_id"].nunique() >= 1
+    assert got["subj_id"].nunique() == 1  # same SF: id in every batch
+    assert got["subj_id"].iloc[0].startswith("SF:zorblatt")
+    assert got["obj_id"].nunique() == 1 and got["obj_id"].iloc[0].startswith("LEI")
