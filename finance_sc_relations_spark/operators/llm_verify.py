@@ -24,7 +24,6 @@ from typing import Dict, Iterator, List, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,

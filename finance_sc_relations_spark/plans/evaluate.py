@@ -18,7 +18,6 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..functions.relations import LABELS
 from ..functions.tagging import entity_annotation

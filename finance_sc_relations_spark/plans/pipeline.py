@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.segment import segment_sentences
 from ..operators.ner import detect_mentions, gate_multi_org
-from ..operators.sc_classifier import sc_classify, sc_gate
+from ..operators.sc_classifier import sc_gate
 from ..operators.pairs import generate_tagged_pairs
 from ..operators.re_classifier import classify_pairs
 from ..operators.graph import (
