@@ -432,6 +432,49 @@ SELECT * FROM hop2
 """
 
 
+def _q_corpus_report(spark, sf_dir):
+    """Per-(source, lang) corpus curation rollup — counts, token mass,
+    quality mass (integer basis points; float means diverge cross-engine),
+    distinct fingerprints. One groupBy, map-side combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "source", "lang",
+        T.token_count_col("text").cast("long").alias("n_tokens"),
+        F.round(T.quality_score_col("text") * 10000).cast("long").alias("q_bp"),
+        T.fingerprint_col("text").alias("fp"),
+    )
+    return enriched.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("q_bp").alias("sum_quality_bp"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+_CORPUS_REPORT_SQL = r"""
+WITH per_doc AS (
+  SELECT source, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_tokens,
+         CAST(round(round(least(length(text) / 500.0, 1.0) * 0.4
+           + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / length(text)
+               ELSE 0.0 END) * 5.0) * 0.3
+           + least((CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) > 0
+               THEN len(list_intersect(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        ['a','an','and','are','as','at','be','by','for','from','has','he','in','is','it','its','of','on','that','the','to','was','were','will','with'])) * 1.0
+                    / len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+               ELSE 0.0 END) * 4.0, 1.0) * 0.3, 4) * 10000) AS BIGINT) AS q_bp,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(q_bp) AS BIGINT) AS sum_quality_bp,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+FROM per_doc GROUP BY 1, 2
+"""
+
+
 def _q_doc_quality(spark, sf_dir):
     """Full quality-scoring surface (length/punct/stopword composite) as
     integer basis points."""
@@ -1020,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_2": _q_khop_2,
         "pagerank": _q_pagerank,
         "doc_quality": _q_doc_quality,
+        "corpus_report": _q_corpus_report,
         "clean_text": _q_clean_text,
         "segment_sentences": _q_segment,
         "token_stats": _q_token_stats,
@@ -1061,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "khop_2": _KHOP_SQL,
         "pagerank": _PAGERANK_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
+        "corpus_report": _CORPUS_REPORT_SQL,
         "clean_text": _CLEAN_TEXT_SQL,
         "segment_sentences": _SEGMENT_SQL,
         "token_stats": _TOKEN_STATS_SQL,
