@@ -432,6 +432,32 @@ SELECT * FROM hop2
 """
 
 
+def _q_token_budget_sample(spark, sf_dir):
+    """Deterministic token-budgeted sampling (5000 tokens per language):
+    seeded md5 order makes the exact sample cross-engine checkable."""
+    out = T.sample_token_budget(
+        _t(spark, sf_dir, "documents"), tokens_per_stratum=5000
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH enriched AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS n_tokens,
+         md5(text || '42') AS ord_key
+  FROM documents
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord_key ASC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM enriched
+)
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= 5000
+"""
+
+
 def _q_corpus_report(spark, sf_dir):
     """Per-(source, lang) corpus curation rollup — counts, token mass,
     quality mass (integer basis points; float means diverge cross-engine),
@@ -1064,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "doc_quality": _q_doc_quality,
         "corpus_report": _q_corpus_report,
+        "token_budget_sample": _q_token_budget_sample,
         "clean_text": _q_clean_text,
         "segment_sentences": _q_segment,
         "token_stats": _q_token_stats,
@@ -1106,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _PAGERANK_SQL,
         "doc_quality": _DOC_QUALITY_SQL,
         "corpus_report": _CORPUS_REPORT_SQL,
+        "token_budget_sample": _TOKEN_BUDGET_SQL,
         "clean_text": _CLEAN_TEXT_SQL,
         "segment_sentences": _SEGMENT_SQL,
         "token_stats": _TOKEN_STATS_SQL,

@@ -151,3 +151,39 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(1.0) - F.countDistinct("fp") / F.count("*"), 4
         ).alias("dup_ratio"),
     )
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    tokens_per_stratum: int,
+    strata: tuple = ("lang",),
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic token-budgeted sampling: per stratum, keep documents in
+    a seeded pseudo-random order until the cumulative token count reaches
+    tokens_per_stratum (the 'sample N tokens per language' curation step of
+    LLM data pipelines).
+
+    The order key is md5(text || seed) — deterministic, uniform, and
+    computable identically by any engine (unlike xxhash64, which is
+    Spark-specific), so the exact sample is reproducible and cross-checkable.
+    One window per stratum; no joins, no Python."""
+    from pyspark.sql import Window
+
+    enriched = docs.withColumn(
+        "n_tokens", token_count_col(text_col).cast("long")
+    ).withColumn(
+        "_ord", F.md5(F.concat(F.col(text_col), F.lit(str(seed))))
+    )
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        enriched.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= tokens_per_stratum)
+        .drop("_ord")
+    )

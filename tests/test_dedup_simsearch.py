@@ -280,3 +280,20 @@ def test_corpus_report_rollup(spark):
     assert a["n_docs"] == 3 and a["dup_ratio"] == round(1 - 2 / 3, 4)
     assert a["total_tokens"] == 4 + 4 + 4
     assert out.loc[("srcB", "de")]["n_docs"] == 1
+
+
+def test_sample_token_budget(spark):
+    """Budgeted sampling keeps <= budget tokens per stratum, is deterministic,
+    and takes docs in the seeded md5 order (prefix property: a bigger budget
+    yields a superset)."""
+    rows = [(i, " ".join(f"w{j}" for j in range(10)), "en") for i in range(30)]
+    rows += [(100 + i, "kurz satz hier", "de") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    small = T.sample_token_budget(df, tokens_per_stratum=50).toPandas()
+    per = small.groupby("lang")["n_tokens"].sum()
+    assert (per <= 50).all()
+    assert per["en"] == 50  # 5 docs x 10 tokens fill the budget exactly
+    big = T.sample_token_budget(df, tokens_per_stratum=100).toPandas()
+    assert set(small.doc_id) <= set(big.doc_id)  # prefix property
+    again = T.sample_token_budget(df, tokens_per_stratum=50).toPandas()
+    assert sorted(small.doc_id) == sorted(again.doc_id)
