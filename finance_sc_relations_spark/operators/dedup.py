@@ -478,18 +478,16 @@ def near_dup_clusters(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # convergence flag rides in the checkpointed frame (no recompute)
         new_labels = labels.join(neighbor_min, "id", "left").select(
             "id",
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
+            (
+                F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
+            ).alias("_changed"),
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels.select(

@@ -364,21 +364,20 @@ def canonicalize_unmatched(
             # never re-enter as a new labeled surface or it is emitted twice
             # (its LEI row + a propagated SF: row) and fans out every
             # downstream triple join.
+            # carry the convergence flag INSIDE the checkpointed frame: the
+            # count below then reads materialized rows instead of recomputing
+            # the whole join a second time (halves per-iteration work)
             new_labels = labels.join(neighbor_min, "surface", "left").select(
                 "surface",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
-            )
-            # convergence check: any label changed?
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "surface")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels.localCheckpoint(eager=True)
+                (
+                    F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
+                ).alias("_changed"),
+            ).localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("_changed")).limit(1).count()
+            labels = new_labels.drop("_changed")
             if changed == 0:
                 break
     resolved = labels.select(
