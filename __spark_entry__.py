@@ -809,6 +809,37 @@ FROM read_parquet('{_EXPECTED_DIR}/simhash_pairs.parquet')
 """
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style 13-gram overlap): docs
+    sharing any 13-gram with the 'eval set' (every 50th doc) are dropped.
+    The exact-dup families planted in the fixture make this non-trivial."""
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.decontaminate(corpus, evals, n=13).select("doc_id", "source")
+
+
+_DECONTAMINATE_SQL = r"""
+WITH grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(
+           list_transform(
+             range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 13, 0) + 1),
+             i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i+1:i+13], ' ')
+           ), g -> length(g) > 0)) AS gs
+  FROM documents
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 50 != 0) g
+  JOIN ev ON g.gram = ev.gram
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """The dedup DECISION layer: MinHash pairs -> connected components ->
     min-id canonical per cluster. Oracle: union-find over the independently
@@ -1099,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_jaccard_pairs": _q_word_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_brute_topk": _q_ann_brute_topk,
@@ -1144,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _ANN_BRUTE_SQL,
         "minhash_lsh_pairs": _MINHASH_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,

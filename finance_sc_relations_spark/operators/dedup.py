@@ -495,3 +495,37 @@ def near_dup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    eval_texts: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Drop every document sharing a word n-gram with the evaluation set —
+    the standard benchmark-decontamination step of LLM training pipelines
+    (13-gram overlap is the GPT-3/PaLM convention).
+
+    The eval side is tiny next to the corpus: its distinct n-grams become a
+    broadcast left_anti join against the corpus posting list (one pass,
+    no shuffle of the corpus beyond the explode)."""
+    eval_grams = (
+        eval_texts.select(F.explode(_ngram_col(eval_text_col, n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_ngram_col(text_col, n)).alias("gram")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")

@@ -297,3 +297,21 @@ def test_sample_token_budget(spark):
     assert set(small.doc_id) <= set(big.doc_id)  # prefix property
     again = T.sample_token_budget(df, tokens_per_stratum=50).toPandas()
     assert sorted(small.doc_id) == sorted(again.doc_id)
+
+
+def test_decontaminate_removes_eval_overlap(spark):
+    words = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, words + " unique tail one"),
+         (2, "completely unrelated short text"),
+         (3, "prefix words " + " ".join(f"tok{i}" for i in range(5, 19)))],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(words,)], "text string")
+    kept = set(D.decontaminate(docs, evals, n=13).toPandas().doc_id)
+    # doc 1 shares full 13-grams with the eval text; doc 3 shares a 14-token
+    # window (tok5..tok18) -> also contaminated; doc 2 survives
+    assert kept == {2}
+    # short n (harder gate) still keeps the clean doc
+    kept5 = set(D.decontaminate(docs, evals, n=5).toPandas().doc_id)
+    assert 2 in kept5
