@@ -45,13 +45,18 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Keep the smallest id per fingerprint (deterministic winner).
 
     ONE shuffle: window row_number over the fingerprint (the groupBy-min +
-    join-back form costs an extra join shuffle for the same result)."""
+    join-back form costs an extra join shuffle for the same result). On
+    low-partition inputs the parallelize repartition hashes on the window
+    key itself so Catalyst reuses that distribution for the window —
+    still one shuffle (the r2 bench paid two: round-robin + window)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
     return (
-        _parallelize(docs)
-        .withColumn("fingerprint", fingerprint_col(text_col))
+        _parallelize(
+            docs.withColumn("fingerprint", fingerprint_col(text_col)),
+            "fingerprint",
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "fingerprint")
@@ -99,7 +104,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), _ngram_col(text_col, n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     # three consumers (posting explode + both verify sides) — without this
-    # the O(len·n) gram-array build re-runs per consumer
+    # the O(len·n) gram-array build re-runs per consumer. The cache is
+    # released below once the verified output is materialized, so repeated
+    # calls in a long-lived session don't accumulate storage blocks.
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     exploded = grams.select("id", "n_grams", F.explode("grams").alias("gram"))
     gram_df = exploded.groupBy("gram").agg(F.count("*").alias("df"))
@@ -139,9 +146,15 @@ def ngram_jaccard_pairs(
             "jaccard", F.col("co") / (F.col("na") + F.col("nb") - F.col("co"))
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold).select(
+    out = verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
+    # Materialize the (small) verified pair set, then drop the gram cache —
+    # checkpoint blocks are ContextCleaner-managed (released when the result
+    # frame is GC'd), unlike a leaked persist which lives until eviction.
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -53,10 +53,28 @@ def emit_triples(classified_pairs: DataFrame, score_threshold: float = 0.5) -> D
     )
 
 
-def link_triples(triples: DataFrame, surface_to_entity: DataFrame) -> DataFrame:
-    """Attach canonical entity ids to both triple endpoints via two broadcast
-    joins on the (small, distinct) surface->entity map."""
-    s2e = F.broadcast(surface_to_entity)
+def link_triples(
+    triples: DataFrame,
+    surface_to_entity: DataFrame,
+    broadcast: bool | None = None,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Attach canonical entity ids to both triple endpoints via two joins on
+    the distinct surface->entity map.
+
+    The map is one row per distinct corpus surface — ~10^7-10^8 strings at
+    web scale, a multi-GB payload an unconditional broadcast would ship
+    TWICE (subj + obj joins). Same auto-dispatch as the dictionary
+    (plans/pipeline.py max_broadcast_dict_rows): broadcast hint below
+    max_broadcast_rows, plain equi-join (AQE picks the strategy) above.
+
+    broadcast=None counts the map to decide — callers on the hot path should
+    persist the map first (plans/pipeline.py does) so the count materializes
+    the cache instead of re-running the linking lineage, or pass the
+    decision explicitly."""
+    if broadcast is None:
+        broadcast = surface_to_entity.count() <= max_broadcast_rows
+    s2e = F.broadcast(surface_to_entity) if broadcast else surface_to_entity
     out = (
         triples.join(
             s2e.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
@@ -217,13 +235,20 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over the (subj_id, obj_id) edge table by join-based power
-    iteration — the canonical iterative-algorithm shape on Spark (each step
-    is one equi-join shuffle on src + one groupBy on dst; lineage is cut
-    with localCheckpoint every few iterations so the plan doesn't grow
-    unboundedly; dangling mass is redistributed uniformly so ranks sum to N).
+    iteration — the canonical iterative-algorithm shape on Spark.
+
+    Per iteration: ONE distributed pass (equi-join shuffle on src + groupBy
+    on dst) materialized by an eager localCheckpoint, so no job ever
+    re-executes un-checkpointed rank lineage. Dangling mass needs no
+    driver collect and no left_anti join: the update preserves
+    sum(rank) == N, so dangling = N - sum(contribs) (mass through edges is
+    exactly the summed rank of non-dangling vertices) — computed as a 1-row
+    aggregate OVER THE CHECKPOINTED contribs and cross-joined back
+    (broadcast of one row). The r2 shape re-ran the rank lineage for a
+    dangling collect every iteration — quadratic work growth inside each
+    checkpoint window.
 
     Returns (entity_id, rank double). Deterministic for a given graph."""
     verts = (
@@ -246,28 +271,30 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = verts.withColumn("rank", F.lit(1.0))
-    for i in range(iterations):
+    for _ in range(iterations):
         contribs = (
             trans.join(ranks, "entity_id")
             .groupBy(F.col("dst").alias("entity_id"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            .localCheckpoint(eager=True)
         )
-        # dangling nodes (no out-edges) leak their mass; spread it uniformly
-        dangling = (
-            ranks.join(out_deg, "entity_id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # sum(rank)==N invariant => dangling mass = N - mass through edges;
+        # 1-row frame, reads materialized contribs blocks (no driver collect)
+        dangling = contribs.agg(
+            (F.lit(float(n)) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dm")
         )
-        ranks = verts.join(contribs, "entity_id", "left").select(
-            "entity_id",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping)
-                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        ranks = (
+            verts.join(contribs, "entity_id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "entity_id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
+                ).alias("rank"),
+            )
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -126,7 +126,11 @@ def link_surfaces(
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         embedder = HashEmbedder()
-        dict_rows = bc.value
+        # (form, entity_id) order so exact ties (two entities sharing a
+        # form/alias) resolve to the min entity_id — identical to the
+        # distributed tier's sort_values; a corpus crossing the auto-dispatch
+        # threshold must not flip ambiguous-alias assignments.
+        dict_rows = sorted(bc.value, key=lambda r: (r[3], r[0]))
         exact = {}
         by_prefix: dict = {}
         for entity_id, canonical, prefix, form in dict_rows:

@@ -158,20 +158,24 @@ class CheckpointManager:
 
 
 def _input_signature(path: str) -> str:
-    """Cheap content signal for the resume fingerprint: file count + total
-    bytes + max mtime under the input path. Regenerating an input IN PLACE
-    (same path, new content) must invalidate completed stages — a path-only
-    fingerprint silently reuses them and returns stale results."""
+    """Cheap content signal for the resume fingerprint: a hash of every
+    file's (relative path, size, mtime_ns). Regenerating an input IN PLACE
+    (same path, new content) must invalidate completed stages — aggregate
+    count/bytes/whole-second-mtime signatures miss same-second in-place
+    rewrites and equal-size content swaps between files."""
+    import hashlib
+
     p = Path(path)
     files = sorted(p.rglob("*")) if p.is_dir() else ([p] if p.exists() else [])
-    n, total, mtime = 0, 0, 0.0
+    h = hashlib.blake2b(digest_size=12)
     for f in files:
         if f.is_file():
             st = f.stat()
-            n += 1
-            total += st.st_size
-            mtime = max(mtime, st.st_mtime)
-    return f"n{n}b{total}m{int(mtime)}"
+            h.update(
+                f"{f.relative_to(p) if p.is_dir() else f.name}"
+                f"|{st.st_size}|{st.st_mtime_ns}\n".encode()
+            )
+    return h.hexdigest()
 
 
 def run_pipeline_checkpointed(
@@ -301,8 +305,16 @@ def run_pipeline_checkpointed(
         alias_edges = build_alias_edges(mentions)
         s2e = canonicalize_unmatched(
             linked_surfaces, alias_edges.select("target", "alias")
+        ).persist()
+        # same broadcast-vs-equi-join auto-dispatch as plans.pipeline; the
+        # count materializes the persisted map so both endpoint joins read
+        # cache (released when the stage write below completes the scope)
+        out = link_triples(
+            triples,
+            s2e.select("surface", "entity_id"),
+            max_broadcast_rows=cfg.max_broadcast_dict_rows,
         )
-        return link_triples(triples, s2e.select("surface", "entity_id"))
+        return out
 
     linked = ckpt.run_stage(
         "linked_triples", _linked, fp, input_rows=_rows("triples")

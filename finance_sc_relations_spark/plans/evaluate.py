@@ -86,10 +86,21 @@ def evaluate_re(
         _eval_rid(s, f, c)
         for s, f, c in zip(gold_pdf.Sentence, gold_pdf.Filer, gold_pdf.Company)
     ]
+    # A repeated (Sentence, Filer, Company) with CONFLICTING labels is a
+    # corrupt gold set — dropping an arbitrary row would silently skew P/R,
+    # so fail loudly. Identical full-row duplicates are deduplicated.
+    conflicts = gold_pdf.groupby("r_id")["Relationship"].nunique()
+    conflicts = conflicts[conflicts > 1]
+    if len(conflicts):
+        raise ValueError(
+            f"{len(conflicts)} gold (Sentence, Filer, Company) keys carry "
+            "conflicting Relationship labels; fix the gold set"
+        )
     gold_pdf = gold_pdf.drop_duplicates(subset=["r_id"])
-    assert gold_pdf["r_id"].is_unique and pred.index.is_unique, (
-        "eval join keys must be unique or the join cross-multiplies rows"
-    )
+    if not (gold_pdf["r_id"].is_unique and pred.index.is_unique):
+        raise ValueError(
+            "eval join keys must be unique or the join cross-multiplies rows"
+        )
     merged = gold_pdf.set_index("r_id").join(pred, how="inner")
 
     y_true = merged["Relationship"].to_numpy()

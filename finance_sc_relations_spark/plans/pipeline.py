@@ -174,7 +174,16 @@ def run_pipeline(
         # without persisting, every downstream action recomputes the whole
         # linking subtree (measured ~17s per action at 100k pages).
         surface_to_entity = surface_to_entity.persist(StorageLevel.MEMORY_AND_DISK)
-    linked = link_triples(triples, surface_to_entity.select("surface", "entity_id"))
+    # auto-dispatch: broadcast the surface map only below the same row
+    # threshold as the dictionary — at web scale the per-distinct-surface map
+    # is ~10^7+ rows and must go through a plain (AQE) equi-join instead.
+    # The dispatch count materializes the persisted map, so the two endpoint
+    # joins read cache rather than re-running the linking subtree.
+    linked = link_triples(
+        triples,
+        surface_to_entity.select("surface", "entity_id"),
+        max_broadcast_rows=cfg.max_broadcast_dict_rows,
+    )
     if cfg.persist_intermediate:
         linked = linked.persist(StorageLevel.MEMORY_AND_DISK)
     edges = build_edges(linked)

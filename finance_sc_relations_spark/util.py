@@ -5,12 +5,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Small inputs often arrive as one parquet file = one partition, which
     serializes every narrow stage (gram building, signature/embedding UDFs)
     onto a single core. Repartition up to the cluster's slot count; a no-op
-    for big inputs that already carry enough partitions."""
+    for big inputs that already carry enough partitions.
+
+    When `keys` are given, the repartition hashes on those columns so a
+    downstream window/groupBy on the same keys reuses the distribution —
+    one shuffle total instead of parallelize-shuffle + operator-shuffle
+    (the exact_dedup r2 bench regression)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if keys:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
