@@ -1029,7 +1029,9 @@ FROM read_parquet('{_EXPECTED_DIR}/kg_triples_gold.parquet')
 
 def _q_doc_relations_fixture(spark, sf_dir):
     """Per-document reporter-aware relation rollup (L7-L10) over the fixture
-    corpus (rows-only; semantics pytest-verified in test_reporter_readers)."""
+    corpus. Oracle: recomputed INDEPENDENTLY in plain pandas from the
+    generator's gold triples + reporter semantics (scripts/gen_expected.py
+    gen_doc_relations) — not a snapshot of this operator."""
     from finance_sc_relations_spark.fixtures import generate_corpus
     from finance_sc_relations_spark.operators.reporter import aggregate_doc_relations
     from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
@@ -1046,39 +1048,55 @@ def _q_doc_relations_fixture(spark, sf_dir):
     )
 
 
-# Pinned regression snapshot (produced once by this operator, semantics
-# covered by tests/test_reporter_readers.py) — catches silent drift.
+# Independent oracle: gold-triples -> pandas rollup (reporter.py:59-69
+# semantics), generator-derived — NOT operator-derived.
 _DOC_RELATIONS_SQL = f"""
 SELECT url, company, relationship, CAST(n_evidence AS BIGINT) AS n_evidence
-FROM read_parquet('{_EXPECTED_DIR}/doc_relations_snapshot.parquet')
+FROM read_parquet('{_EXPECTED_DIR}/doc_relations.parquet')
 """
 
 
 def _q_multimodal_features(spark, sf_dir):
-    """Multimodal binary-column plumbing: deterministic feature extraction
-    over synthetic media payloads (decode kernel stubbed; schema/batching
-    real)."""
+    """Multimodal feature extraction with REAL stdlib decode kernels for
+    bmp/wav (byte-offset BMP pixel parse, wave-module PCM) and a digest stub
+    for codec-needing mp4. The oracle decodes the same payloads with
+    DIFFERENT code (manual int.from_bytes header/RIFF parsing in
+    scripts/gen_expected.py), so the feature values — not just hashes — are
+    cross-checked. Features quantized to basis points for hash-stable
+    comparison (per-element sum + first element)."""
     from finance_sc_relations_spark.operators.multimodal import (
         extract_media_features,
         make_synthetic_media,
     )
 
     media = make_synthetic_media(spark, n=30)
-    return extract_media_features(media).select("media_id", "n_bytes", "content_sha")
+    bp = F.transform(
+        "features", lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5))
+    )
+    return extract_media_features(media).select(
+        "media_id",
+        "n_bytes",
+        "content_sha",
+        F.aggregate(bp, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "feat_sum_bp"
+        ),
+        F.element_at(bp, 1).cast("long").alias("feat0_bp"),
+    )
 
 
-# Expected shas/sizes recomputed in plain Python over the same deterministic
-# payload generation (scripts/gen_expected.py).
+# Expected sizes/shas/features recomputed in plain Python with an
+# INDEPENDENT decoder (scripts/gen_expected.py).
 _MULTIMODAL_SQL = f"""
-SELECT media_id, n_bytes, content_sha
+SELECT media_id, n_bytes, content_sha, feat_sum_bp, feat0_bp
 FROM read_parquet('{_EXPECTED_DIR}/multimodal_features.parquet')
 """
 
 
 def _q_multimodal_frames(spark, sf_dir):
-    """Video frame-sampling plumbing (offsets from typed metadata; decode
-    stubbed as a deterministic digest). Oracle: offsets + digests recomputed
-    in plain Python (scripts/gen_expected.py)."""
+    """Frame/window sampling: REAL PCM slices for wav audio (the payload is
+    the decoded window's bytes), digest stub for mp4 video. Oracle: slices
+    recomputed from a manual RIFF parse (scripts/gen_expected.py); sha256 of
+    the frame payload keeps rows slim."""
     from finance_sc_relations_spark.operators.multimodal import (
         make_synthetic_media,
         sample_frames,
@@ -1090,8 +1108,8 @@ def _q_multimodal_frames(spark, sf_dir):
         "media_id",
         F.col("frame_index").cast("long").alias("frame_index"),
         "offset_ms",
-        F.hex(F.col("frame_payload")).alias("frame_sha"),
-    ).withColumn("frame_sha", F.lower("frame_sha"))
+        F.lower(F.sha2(F.col("frame_payload"), 256)).alias("frame_sha"),
+    )
 
 
 _MULTIMODAL_FRAMES_SQL = f"""

@@ -468,11 +468,20 @@ def near_dup_clusters(
     """The dedup DECISION layer: (doc_id, cluster_id, is_canonical).
 
     Connected components over the near-dup pair graph (default: MinHash+LSH
-    pairs) by iterative min-label propagation — the same O(log diameter)
-    join loop as entity canonicalization; each pass is one shuffle on id.
+    pairs) by min-label propagation WITH pointer jumping: each round a node
+    adopts the smallest of (its label, its neighbors' labels, its label's
+    OWN label). The neighbor step alone moves the minimum one hop per round
+    (O(diameter)); the label-of-label jump doubles the reach, giving true
+    O(log diameter) convergence — a 10^6-node chain converges in ~20 rounds
+    instead of never. Each round is two shuffles on id (neighbor agg +
+    pointer join). If the loop exhausts before converging, a RuntimeWarning
+    is raised instead of silently returning split components.
+
     cluster_id = min doc_id in the component; is_canonical marks the one
     row per cluster a curation pipeline keeps. Singletons are their own
     canonical cluster."""
+    import warnings
+
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, id_col=id_col, **minhash_params)
     edges = (
@@ -484,6 +493,7 @@ def near_dup_clusters(
     labels = docs.select(F.col(id_col).alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    changed = 1
     for _ in range(max_iterations):
         frontier = labels
         neighbor_min = (
@@ -491,18 +501,40 @@ def near_dup_clusters(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer jump: my label is a node id — adopt THAT node's label too
+        jump = labels.select(
+            F.col("id").alias("_jid"), F.col("label").alias("jlabel")
+        )
         # convergence flag rides in the checkpointed frame (no recompute)
-        new_labels = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            (
-                F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
-            ).alias("_changed"),
-        ).localCheckpoint(eager=True)
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .join(jump, F.col("label") == F.col("_jid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nlabel", "label"),
+                    F.coalesce("jlabel", "label"),
+                ).alias("label"),
+                (
+                    F.least(
+                        F.coalesce("nlabel", "label"), F.coalesce("jlabel", "label")
+                    )
+                    < F.col("label")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"near_dup_clusters did not converge in {max_iterations} "
+            "iterations; components may be split — raise max_iterations",
+            RuntimeWarning,
+        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),

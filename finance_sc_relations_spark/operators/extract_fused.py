@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.tagging import entity_annotation, inverse_relations, mutate_sent
-from .models import get_re_model, model_from_broadcast
+from .models import resolve_model
 from .pairs import enumerate_pairs
 from .re_classifier import CUS, SUP
 
@@ -51,20 +51,18 @@ def tag_and_score(
     mutate: bool = True,
     reverse: bool = True,
     model_broadcast=None,
+    model_path: str | None = None,
 ) -> DataFrame:
     """gated mentions (url, sentence_id, sentence, org_groups) -> scored
     position rows, one Arrow pass. Feed to
     re_classifier.aggregate_positions for R7/R8.
 
     model_broadcast: optional sc.broadcast(serialize_model(...)) — the
-    transformer drop-in seam (loaded once per executor)."""
+    transformer drop-in seam (loaded once per executor). model_path: LOCAL
+    checkpoint file alternative (model.pth.tar flow, infer.py:67-133)."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = (
-            model_from_broadcast(model_broadcast)
-            if model_broadcast is not None
-            else get_re_model()
-        )
+        model = resolve_model(model_broadcast, model_path)
         for batch in batches:
             meta = []  # (url, sentence_id, r_id, entity1, entity2)
             sents = []

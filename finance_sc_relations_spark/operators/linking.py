@@ -92,6 +92,55 @@ def normalize_name(name: str) -> str:
     return s.replace("the", "").replace(" ", "")
 
 
+def sort_normalize(name: str) -> str:
+    """The GSI sort-key normalization (reporter.py:158-160): punctuation
+    stripped, lowercased, SPACES KEPT (unlike the prefix key)."""
+    return re.sub(_PUNCT_RE, "", name.strip()).lower()
+
+
+def sort_prefixes(name: str, sort_len: int = 5) -> List[str]:
+    """L5 second-level blocking keys (reporter.py:158-165): the 5-char sort
+    prefix of the sort-normalized surface; a leading-'the' name queries BOTH
+    the 'the'-inclusive 4+5-char prefix and the de-'the'd 5-char prefix —
+    a dictionary form qualifies as a fuzzy candidate iff its sort-normalized
+    string begins with one of these (the DynamoDB begins_with condition
+    within the prefix2 partition)."""
+    sort = sort_normalize(name)
+    out = []
+    if sort.split(" ")[0] == "the":
+        out.append(sort[: 4 + sort_len].strip())
+        sort = sort[4:].strip()
+    out.append(sort[:sort_len].strip())
+    return out
+
+
+def _sort_mask(form_sorts: np.ndarray, surface: str) -> np.ndarray:
+    """Boolean eligibility of each dictionary form for `surface` under the
+    sort-prefix condition. form_sorts: np.str_ array of sort-normalized
+    forms (one per block item)."""
+    mask = np.zeros(len(form_sorts), dtype=bool)
+    for q in sort_prefixes(surface):
+        mask |= np.char.startswith(form_sorts, q)
+    return mask
+
+
+def _cands_from_sims(sims, items, cand_thresh, match_thresh, top_k):
+    """top_k (name, entity_id, score) with cand_thresh <= score <
+    match_thresh — the reference's matches/candidates split
+    (reporter.py:224-227). Match-level items are matches, never
+    candidates. Shared by both linking tiers so they emit identical lists."""
+    cands = []
+    for idx in np.argsort(-sims):
+        s = float(sims[idx])
+        if s < cand_thresh or len(cands) >= top_k:
+            break
+        if s >= match_thresh:
+            continue
+        entity_id, canonical, form = items[idx]
+        cands.append({"name": form, "entity_id": entity_id, "score": s})
+    return cands
+
+
 def link_surfaces(
     surfaces: DataFrame,
     company_dict,
@@ -106,9 +155,13 @@ def link_surfaces(
     collects it once and reuses it across stages).
     Exact matches (canonical name or known alias) score 1.0; otherwise the
     best prefix-block cosine >= match_thresh wins (match_companies thresholds,
-    src/sagemaker/re_inference.py:135-137 defaults). Every surface also
-    carries its top_k sub-match-threshold candidates at cand_thresh — the
-    matches/candidates split of match_companies (reporter.py:203-237)."""
+    src/sagemaker/re_inference.py:135-137 defaults), with fuzzy candidacy
+    further gated by the L5 SECOND-level block: the form's sort-normalized
+    string must begin with the surface's 5-char sort prefix (incl. the
+    leading-'the' variant — reporter.py:158-165, sort_len=5 per
+    re_inference.py:131). Every surface also carries its top_k
+    sub-match-threshold candidates at cand_thresh — the matches/candidates
+    split of match_companies (reporter.py:203-237)."""
     spark = surfaces.sparkSession
     dict_pdf = (
         company_dict
@@ -140,47 +193,44 @@ def link_surfaces(
             p: embedder.encode([f for _, _, f in items])
             for p, items in by_prefix.items()
         }
-        def _cands_from_sims(sims, items):
-            """top_k (name, entity_id, score) with cand_thresh <= score <
-            match_thresh — the reference's matches/candidates split
-            (reporter.py:224-227). Match-level items are matches, never
-            candidates."""
-            cands = []
-            for idx in np.argsort(-sims):
-                s = float(sims[idx])
-                if s < cand_thresh or len(cands) >= top_k:
-                    break
-                if s >= match_thresh:
-                    continue
-                entity_id, canonical, form = items[idx]
-                cands.append({"name": form, "entity_id": entity_id, "score": s})
-            return cands
+        # sort-normalized forms per block for the L5 second-level
+        # (begins_with) condition — numpy str arrays so the per-surface
+        # eligibility test is one vectorized startswith per query prefix
+        prefix_sorts = {
+            p: np.array([sort_normalize(f) for _, _, f in items], dtype=np.str_)
+            for p, items in by_prefix.items()
+        }
 
         for batch in batches:
             out = []
-            for surface in batch["surface"]:
+            surfaces = list(batch["surface"])
+            # ONE batched encode per Arrow batch (not per surface) feeds
+            # every block matvec below
+            surf_vecs = embedder.encode(surfaces) if surfaces else None
+            for i, surface in enumerate(surfaces):
                 p = _prefix2(surface)
                 items = by_prefix.get(p)
-                # ONE encode + one block matmul per surface feeds both the
-                # best-match decision and the candidate list
-                sims = (
-                    prefix_emb[p] @ embedder.encode([surface])[0]
-                    if items
-                    else None
-                )
-                cands = _cands_from_sims(sims, items) if items else []
+                cands: list = []
+                best_item = None
+                best_score = None
+                if items:
+                    mask = _sort_mask(prefix_sorts[p], surface)
+                    if mask.any():
+                        idxs = np.flatnonzero(mask)
+                        sims = prefix_emb[p][idxs] @ surf_vecs[i]
+                        cands = _cands_from_sims(
+                            sims, [items[j] for j in idxs],
+                            cand_thresh, match_thresh, top_k,
+                        )
+                        b = int(np.argmax(sims))
+                        if sims[b] >= match_thresh:
+                            best_item, best_score = items[idxs[b]], float(sims[b])
                 hit = exact.get(surface)
                 if hit is not None:
                     out.append((surface, hit[0], hit[1], 1.0, cands))
-                    continue
-                if items is None:
-                    out.append((surface, None, None, None, []))
-                    continue
-                best = int(np.argmax(sims))
-                if sims[best] >= match_thresh:
+                elif best_item is not None:
                     out.append(
-                        (surface, items[best][0], items[best][1],
-                         float(sims[best]), cands)
+                        (surface, best_item[0], best_item[1], best_score, cands)
                     )
                 else:
                     out.append((surface, None, None, None, cands))
@@ -262,31 +312,40 @@ def link_surfaces_distributed(
         exact = {}
         for entity_id, canonical, form in items:
             exact.setdefault(form, (entity_id, canonical))
-        block_emb = embedder.encode([f for _, _, f in items]) if items else None
+        surfaces = list(surf_pdf["surface"])
         out = []
-        for surface in surf_pdf["surface"]:
-            if not items:
-                out.append((surface, None, None, None, []))
-                continue
-            sims = block_emb @ embedder.encode([surface])[0]
-            cands = []
-            for idx in np.argsort(-sims):
-                s = float(sims[idx])
-                if s < cand_thresh or len(cands) >= top_k:
-                    break
-                if s >= match_thresh:
-                    continue
-                entity_id, canonical, form = items[idx]
-                cands.append({"name": form, "entity_id": entity_id, "score": s})
+        if not items:
+            return pd.DataFrame(
+                [(s, None, None, None, []) for s in surfaces],
+                columns=["surface", "entity_id", "matched_name", "link_score",
+                         "candidates"],
+            )
+        block_emb = embedder.encode([f for _, _, f in items])
+        form_sorts = np.array([sort_normalize(f) for _, _, f in items], dtype=np.str_)
+        # ONE batched encode + ONE block matmul for the whole cogroup block
+        # (the r2 shape encoded and matvec'd per surface in a Python loop)
+        sims_all = embedder.encode(surfaces) @ block_emb.T
+        for i, surface in enumerate(surfaces):
+            mask = _sort_mask(form_sorts, surface)
+            cands: list = []
+            best_item = None
+            best_score = None
+            if mask.any():
+                idxs = np.flatnonzero(mask)
+                sims = sims_all[i][idxs]
+                cands = _cands_from_sims(
+                    sims, [items[j] for j in idxs],
+                    cand_thresh, match_thresh, top_k,
+                )
+                b = int(np.argmax(sims))
+                if sims[b] >= match_thresh:
+                    best_item, best_score = items[idxs[b]], float(sims[b])
             hit = exact.get(surface)
             if hit is not None:
                 out.append((surface, hit[0], hit[1], 1.0, cands))
-                continue
-            best = int(np.argmax(sims))
-            if sims[best] >= match_thresh:
+            elif best_item is not None:
                 out.append(
-                    (surface, items[best][0], items[best][1],
-                     float(sims[best]), cands)
+                    (surface, best_item[0], best_item[1], best_score, cands)
                 )
             else:
                 out.append((surface, None, None, None, cands))
@@ -312,10 +371,15 @@ def canonicalize_unmatched(
 ) -> DataFrame:
     """Assign corpus-level canonical ids to dictionary-unmatched surfaces.
 
-    Connected components by iterative min-label propagation over the
-    undirected surface graph whose edges are (a) page-level alias pairs
-    (alias_edges: target, alias) and (b) normalized-form equality. Converges
-    in <= log2(diameter) iterations; each pass is one shuffle on surface.
+    Connected components by min-label propagation WITH pointer jumping over
+    the undirected surface graph whose edges are (a) page-level alias pairs
+    (alias_edges: target, alias) and (b) normalized-form equality. Each
+    round a surface adopts the least of (its label, its neighbors' labels,
+    the current label OF the surface its label points at) — the jump step
+    doubles the reach per round, so convergence is O(log diameter) joins
+    (neighbor-only propagation is O(diameter): a long alias chain would
+    exhaust the iteration cap and silently split). A RuntimeWarning is
+    raised if the cap is still hit.
     The reference only clusters within a document (reporter.py:283-311);
     corpus-level components are the north-rule extension (SURVEY.md §7.4).
 
@@ -325,28 +389,38 @@ def canonicalize_unmatched(
     components with no dictionary anchor get
     'SF:<min-normalized-form-in-component>'.
     """
+    import warnings
+
     matched = linked.filter(F.col("entity_id").isNotNull()).select(
         "surface", "entity_id"
     )
     unmatched = linked.filter(F.col("entity_id").isNull()).select("surface")
 
-    # label = struct(pri, val). pri 0 = dictionary LEI, pri 1 = normalized
-    # surface form; F.min over the struct orders field-by-field, so a
-    # dictionary id always beats any SF label within a component.
+    # label = struct(pri, val, rep). pri 0 = dictionary LEI, pri 1 =
+    # normalized surface form; F.min over the struct orders field-by-field,
+    # so a dictionary id always beats any SF label within a component.
+    # rep = the surface that CARRIES this label — the pointer the jump step
+    # chases; it only tie-breaks among equal (pri, val), so the emitted
+    # entity_id (pri/val) is identical to the 2-field formulation.
     labels = unmatched.select(
         "surface",
         F.struct(
-            F.lit(1).alias("pri"), normalized_name_col("surface").alias("val")
+            F.lit(1).alias("pri"),
+            normalized_name_col("surface").alias("val"),
+            F.col("surface").alias("rep"),
         ).alias("label"),
     )
+    changed = 0
     if alias_edges is not None and unmatched.isEmpty():
         alias_edges = None  # nothing to propagate — skip the iteration loop
     if alias_edges is not None:
         seeds = matched.select(
             "surface",
-            F.struct(F.lit(0).alias("pri"), F.col("entity_id").alias("val")).alias(
-                "label"
-            ),
+            F.struct(
+                F.lit(0).alias("pri"),
+                F.col("entity_id").alias("val"),
+                F.col("surface").alias("rep"),
+            ).alias("label"),
         )
         edges = (
             alias_edges.select(
@@ -355,6 +429,7 @@ def canonicalize_unmatched(
             .union(alias_edges.select(F.col("alias").alias("a"), F.col("target").alias("b")))
             .distinct()
         )
+        changed = 1
         for _ in range(max_iterations):
             frontier = seeds.unionByName(labels)
             neighbor_min = (
@@ -362,6 +437,10 @@ def canonicalize_unmatched(
                 .select(F.col("b").alias("surface"), "label")
                 .groupBy("surface")
                 .agg(F.min("label").alias("nlabel"))
+            )
+            # pointer jump: fetch the current label of my label's rep surface
+            jump = frontier.select(
+                F.col("surface").alias("_jsurf"), F.col("label").alias("jlabel")
             )
             # LEFT join keyed by the current unmatched label set: propagation
             # may only RELABEL unmatched surfaces. A matched endpoint must
@@ -371,19 +450,36 @@ def canonicalize_unmatched(
             # carry the convergence flag INSIDE the checkpointed frame: the
             # count below then reads materialized rows instead of recomputing
             # the whole join a second time (halves per-iteration work)
-            new_labels = labels.join(neighbor_min, "surface", "left").select(
-                "surface",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
-                ).alias("_changed"),
-            ).localCheckpoint(eager=True)
+            new_labels = (
+                labels.join(neighbor_min, "surface", "left")
+                .join(jump, F.col("label.rep") == F.col("_jsurf"), "left")
+                .select(
+                    "surface",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label")),
+                        F.coalesce(F.col("jlabel"), F.col("label")),
+                    ).alias("label"),
+                    (
+                        F.least(
+                            F.coalesce(F.col("nlabel"), F.col("label")),
+                            F.coalesce(F.col("jlabel"), F.col("label")),
+                        )
+                        < F.col("label")
+                    ).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
             changed = new_labels.filter(F.col("_changed")).limit(1).count()
             labels = new_labels.drop("_changed")
             if changed == 0:
                 break
+    if changed != 0:
+        warnings.warn(
+            f"canonicalize_unmatched did not converge in {max_iterations} "
+            "iterations; alias components may be split — raise max_iterations",
+            RuntimeWarning,
+        )
     resolved = labels.select(
         "surface",
         F.when(F.col("label.pri") == 0, F.col("label.val"))

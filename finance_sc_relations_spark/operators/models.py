@@ -168,6 +168,50 @@ def model_from_broadcast(bc) -> BatchModel:
     return model
 
 
+# Per-executor cache of models loaded from checkpoint FILES, keyed by
+# (path, mtime_ns) so a replaced checkpoint reloads on next task.
+_PATH_LOADED: dict = {}
+
+
+def save_model_checkpoint(path, model) -> None:
+    """Write a BatchModel checkpoint file (the model.pth.tar analog). On a
+    GPU cluster this is torch.save of the state dict; here a pickle."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(model, f)
+
+
+def model_from_path(path: str) -> BatchModel:
+    """Per-executor singleton loaded from a LOCAL checkpoint file — the
+    reference's model.pth.tar flow (src/relation_extraction/infer.py:67-133:
+    load_state(net, ... 'model.pth.tar') once, then batch inference). On a
+    real cluster the file is shipped via spark-submit --files or a shared
+    filesystem, and each executor process deserializes it at most once.
+    The sibling of model_from_broadcast for checkpoints too large or too
+    node-local to ride a broadcast."""
+    import os
+    import pickle
+
+    key = (path, os.stat(path).st_mtime_ns)
+    model = _PATH_LOADED.get(key)
+    if model is None:
+        with open(path, "rb") as f:
+            model = pickle.load(f)
+        _PATH_LOADED[key] = model
+    return model
+
+
+def resolve_model(model_broadcast=None, model_path: str | None = None):
+    """Scoring-stage model resolution: broadcast checkpoint > file
+    checkpoint > built-in lexical scorer. Runs inside the executor UDF."""
+    if model_broadcast is not None:
+        return model_from_broadcast(model_broadcast)
+    if model_path is not None:
+        return model_from_path(model_path)
+    return get_re_model()
+
+
 def get_re_model() -> REPatternModel:
     """Per-executor model singleton (the Spark analog of SageMaker's
     once-per-container model_fn, src/sagemaker/re_inference.py:24-35)."""

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
 
 from ..functions.relations import LABELS
 from ..functions.tagging import inverse_relations, mutate_sent
-from .models import get_re_model, model_from_broadcast
+from .models import resolve_model
 
 _SCORED_POSITIONS = StructType(
     [
@@ -62,6 +62,7 @@ def score_pairs(
     reverse: bool = True,
     model_partitions: int | None = None,
     model_broadcast=None,
+    model_path: str | None = None,
 ) -> DataFrame:
     """PAIRS rows -> per-position score rows (one row per tagged position).
 
@@ -76,17 +77,16 @@ def score_pairs(
     model_broadcast: optional sc.broadcast(serialize_model(...)) — swaps the
     default lexical scorer for a checkpoint-loaded BatchModel (the GPU
     transformer drop-in seam), deserialized once per executor.
+    model_path: optional LOCAL checkpoint file (the model.pth.tar flow,
+    src/relation_extraction/infer.py:67-133) loaded once per executor —
+    ship it with spark-submit --files or a shared filesystem.
     """
     df = pairs
     if model_partitions:
         df = df.repartition(model_partitions)
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = (
-            model_from_broadcast(model_broadcast)
-            if model_broadcast is not None
-            else get_re_model()
-        )
+        model = resolve_model(model_broadcast, model_path)
         for batch in batches:
             if len(batch) == 0:
                 continue
@@ -175,10 +175,12 @@ def classify_pairs(
     reverse: bool = True,
     model_partitions: int | None = None,
     model_broadcast=None,
+    model_path: str | None = None,
 ) -> DataFrame:
     """Full R2-R8 chain: score positions, position-mean, argmax."""
     return aggregate_positions(
         score_pairs(pairs, mutate=mutate, reverse=reverse,
                     model_partitions=model_partitions,
-                    model_broadcast=model_broadcast)
+                    model_broadcast=model_broadcast,
+                    model_path=model_path)
     )

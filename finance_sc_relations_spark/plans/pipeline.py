@@ -61,6 +61,10 @@ class PipelineConfig:
     # scorer for a checkpoint-loaded BatchModel (the GPU transformer
     # drop-in seam), deserialized once per executor.
     re_model_broadcast: object = None
+    # Optional LOCAL checkpoint file path (the model.pth.tar flow) loaded
+    # once per executor — the broadcast's sibling for node-local / --files
+    # shipped checkpoints.
+    re_model_path: str | None = None
     # None = auto: use the distributed (cogroup-by-prefix) linking tier when
     # the dictionary exceeds max_broadcast_dict_rows; True/False forces.
     # The NER gazetteer always needs a driver-side dict — above the
@@ -130,6 +134,7 @@ def run_pipeline(
             mutate=cfg.mutate,
             reverse=cfg.reverse,
             model_broadcast=cfg.re_model_broadcast,
+            model_path=cfg.re_model_path,
         )
         classified = aggregate_positions(scored)
     else:
@@ -143,6 +148,7 @@ def run_pipeline(
             reverse=cfg.reverse,
             model_partitions=cfg.model_partitions,
             model_broadcast=cfg.re_model_broadcast,
+            model_path=cfg.re_model_path,
         )
     triples = emit_triples(classified, score_threshold=cfg.score_threshold)
     if cfg.persist_intermediate:

@@ -11,10 +11,6 @@ Shared building blocks (blake2b hashing, seeded hyperplanes) are imported
 from the package on purpose: the signatures are defined to be those
 functions; what's under test is the distributed composition.
 
-The ONE exception is doc_relations_snapshot.parquet, which is a pinned
-regression snapshot of the Spark operator itself (its semantics are covered
-by tests/test_reporter_readers.py; the snapshot catches silent drift).
-
 Writes parquet under data/expected/sf0.01/ (the driver's oracle SF).
 Usage: python scripts/gen_expected.py
 """
@@ -216,14 +212,90 @@ def gen_kg_gold() -> pd.DataFrame:
     )
 
 
-def gen_multimodal(n=30) -> pd.DataFrame:
+# --- multimodal: INDEPENDENT decoders (manual byte-offset / RIFF parsing;
+# the package uses struct.unpack + the wave module) ------------------------
+
+def _bmp_pixels_manual(payload: bytes) -> np.ndarray:
+    """Manual 24-bit BMP parse: ints via int.from_bytes, bottom-up rows,
+    4-byte row padding — no struct, no shared decode code."""
+    assert payload[:2] == b"BM"
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    assert int.from_bytes(payload[28:30], "little") == 24
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = [
+        np.frombuffer(payload, np.uint8, count=w * 3, offset=off + r * row_bytes)
+        for r in range(abs(h))
+    ]
+    if h > 0:
+        rows = rows[::-1]
+    return np.concatenate(rows)
+
+
+def _wav_pcm_manual(payload: bytes) -> tuple[bytes, int]:
+    """Manual RIFF walk: returns (PCM data bytes, sample rate)."""
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    assert rate is not None and data is not None
+    return data, rate
+
+
+def _media_payload(i: int):
+    from finance_sc_relations_spark.operators.multimodal import (
+        det_bytes,
+        make_bmp,
+        make_wav,
+    )
+
+    mtype = ["image", "audio", "video"][i % 3]
+    if mtype == "image":
+        return mtype, make_bmp(f"media{i}")
+    if mtype == "audio":
+        return mtype, make_wav(f"media{i}")
+    return mtype, det_bytes(f"media{i}", 4096)
+
+
+def gen_multimodal(n=30, feature_dim=8) -> pd.DataFrame:
+    """Features recomputed from an INDEPENDENT decode of the same payloads
+    (manual header/RIFF parsing above) — the oracle now checks feature
+    extraction, not just hash plumbing. Binning math mirrors the operator's
+    float32 numpy ops exactly."""
     rows = []
     for i in range(n):
-        payload = hashlib.blake2b(f"media{i}".encode(), digest_size=64).digest()
-        rows.append((i, len(payload), hashlib.sha256(payload).hexdigest()))
-    return pd.DataFrame(rows, columns=["media_id", "n_bytes", "content_sha"]).astype(
-        {"media_id": "int64", "n_bytes": "int64"}
-    )
+        mtype, payload = _media_payload(i)
+        if mtype == "image":
+            values = _bmp_pixels_manual(payload).astype(np.float32) / 255.0
+        elif mtype == "audio":
+            pcm, _ = _wav_pcm_manual(payload)
+            s = np.frombuffer(pcm, dtype="<i2")
+            values = (s.astype(np.float32) / 32768.0 + 1.0) / 2.0
+        else:
+            digest = hashlib.blake2b(payload, digest_size=32).digest()
+            values = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+        vec = np.array(
+            [b.mean() for b in np.array_split(values, feature_dim)],
+            dtype=np.float32,
+        )
+        bp = np.floor(vec.astype(np.float64) * 10000 + 0.5).astype(np.int64)
+        rows.append(
+            (i, len(payload), hashlib.sha256(payload).hexdigest(),
+             int(bp.sum()), int(bp[0]))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "n_bytes", "content_sha", "feat_sum_bp", "feat0_bp"],
+    ).astype({"media_id": "int64", "n_bytes": "int64",
+              "feat_sum_bp": "int64", "feat0_bp": "int64"})
 
 
 def gen_dedup_clusters() -> pd.DataFrame:
@@ -289,33 +361,135 @@ def gen_pagerank(iterations=10, damping=0.85) -> pd.DataFrame:
 
 
 def gen_multimodal_frames(n=30, every_ms=1000) -> pd.DataFrame:
-    """Frame offsets + deterministic digests, replicated in plain Python
-    (mirrors operators/multimodal.py::sample_frames semantics)."""
+    """Frame/window payload hashes: audio windows are REAL PCM slices cut
+    from the manual RIFF parse (independent of the operator's wave-module
+    decode); video stays the declared digest stub."""
     rows = []
     for i in range(n):
-        payload = hashlib.blake2b(f"media{i}".encode(), digest_size=64).digest()
-        mtype = ["image", "audio", "video"][i % 3]
+        mtype, payload = _media_payload(i)
         duration = 5000 if mtype in ("audio", "video") else 0
+        pcm = rate = None
+        if mtype == "audio":
+            pcm, rate = _wav_pcm_manual(payload)
         for fi, off in enumerate(range(0, duration, every_ms)):
-            digest = hashlib.blake2b(
-                payload + off.to_bytes(8, "big"), digest_size=16
-            ).hexdigest()
-            rows.append((i, fi, off, digest))
+            if mtype == "audio":
+                lo = off * rate // 1000 * 2
+                hi = (off + every_ms) * rate // 1000 * 2
+                frame = pcm[lo:hi]
+            else:
+                frame = hashlib.blake2b(
+                    payload + off.to_bytes(8, "big"), digest_size=16
+                ).digest()
+            rows.append((i, fi, off, hashlib.sha256(frame).hexdigest()))
     return pd.DataFrame(
         rows, columns=["media_id", "frame_index", "offset_ms", "frame_sha"]
     ).astype({"media_id": "int64", "frame_index": "int64", "offset_ms": "int64"})
 
 
-def gen_doc_relations_snapshot() -> pd.DataFrame:
-    """Pinned regression snapshot — the one table produced BY the operator."""
-    from finance_sc_relations_spark.session import build_session
-    import __spark_entry__ as E
+def _triple_score(sentence: str, subj: str, obj: str) -> float:
+    """Per-triple score replicated in plain Python from the scoring
+    semantics: tag every (subj, obj) position pair (entity_annotation),
+    mutate, direction-reverse ensemble, position-mean — the winning label's
+    average. ent order / mutation seed don't matter (the ensemble is
+    direction-symmetric and patterns match on canonicalized E1X/E2X tags,
+    not surface text); alias grouping is omitted because every alias
+    position of a fixture alias sentence scores identically to its target's
+    position, leaving the mean unchanged."""
+    from finance_sc_relations_spark.functions.tagging import (
+        entity_annotation,
+        inverse_relations,
+        mutate_sent,
+    )
+    from finance_sc_relations_spark.operators.models import REPatternModel
 
-    spark = build_session(master="local[8]")
-    spark.sparkContext.setLogLevel("ERROR")
-    pdf = E.queries()["doc_relations_fixture"](spark, SF).toPandas()
-    spark.stop()
-    return pdf
+    model = REPatternModel()
+    og = {subj: 0, obj: 1}
+    mats = []
+    for t in entity_annotation(sentence, subj, obj, og, float("inf")):
+        t = mutate_sent(t, og, seed_key="oracle")
+        fwd = model.score_batch([t])[0]
+        rev = model.score_batch([inverse_relations(t)])[0]
+        rs = rev.copy()
+        rs[[0, 1]] = rev[[1, 0]]
+        mats.append(((fwd + rs) / 2.0).astype(np.float32))
+    m = np.mean([x.astype(np.float64) for x in mats], axis=0)
+    # E2 = obj; subj supplies_to obj => obj's role 'customer' (index 1) wins
+    assert int(np.argmax(m)) == 1 and m[1] > 0.5, (sentence, subj, obj, m)
+    return float(m[1])
+
+
+def gen_doc_relations(n_pages=100, threshold=0.96) -> pd.DataFrame:
+    """INDEPENDENT doc-relations oracle (replaces the r2 pinned Spark
+    snapshot): the per-(url, company) reporter rollup recomputed in plain
+    pandas from the GENERATOR's gold triples + the reporter semantics
+    (src/relation_extraction/reporter.py:59-69: sum score per relation,
+    argmax; reporter side dropped — no fixture company contains the host
+    token 'news', so no reporter drops occur on this corpus, asserted
+    below). Per-triple scores come from _triple_score above (plain-Python
+    position-mean ensemble over the cleaned, re-segmented page text — no
+    Spark orchestration anywhere).
+
+    Doc-level clustering at cosine>0.96 over the page's triple surfaces uses
+    HashEmbedder (a shared building block by design); alias pairs are
+    omitted because every fixture alias is strictly shorter than its target
+    and unique to one company, so aliases can neither become representatives
+    nor bridge two canonical surfaces."""
+    from collections import defaultdict
+
+    from finance_sc_relations_spark.fixtures import generate_corpus
+    from finance_sc_relations_spark.functions.similarity import HashEmbedder
+    from finance_sc_relations_spark.functions.text_clean import rm_special_char
+
+    pages, gold, _ = generate_corpus(n_pages)
+    # cleaned, segmented page text (the same preprocessing contract the
+    # pipeline applies before tagging), in plain Python
+    sent_by_url = {
+        rec.url: [
+            s
+            for s in re.split(r"(?<=[.!?])\s+", rm_special_char(rec.text))
+            if s.strip()
+        ]
+        for rec in pages.itertuples(index=False)
+    }
+    emb = HashEmbedder()
+    out_rows = []
+    for url, g in gold.groupby("url"):
+        orgs = sorted(
+            set(g.subj_surface) | set(g.obj_surface), key=lambda s: (-len(s), s)
+        )
+        assert not any("news" in o.lower() for o in orgs)
+        vecs = emb.encode(orgs)
+        org2id, id2rep, ids_c = {}, {}, 0
+        for i, c in enumerate(orgs):
+            if c in org2id:
+                continue
+            members = [orgs[j] for j in np.flatnonzero(vecs @ vecs[i] > threshold)]
+            for name in members:
+                org2id.setdefault(name, ids_c)
+            id2rep[ids_c] = max(members, key=len)
+            ids_c += 1
+        rep_map = {name: id2rep[cid] for name, cid in org2id.items()}
+        records = defaultdict(list)
+        for rec in g.itertuples(index=False):
+            idx = int(rec.sentence_id.rsplit("#", 1)[1])
+            score = _triple_score(
+                sent_by_url[url][idx], rec.subj_surface, rec.obj_surface
+            )
+            records[rep_map[rec.subj_surface]].append(
+                ("supplier", score, rec.sentence_id)
+            )
+            records[rep_map[rec.obj_surface]].append(
+                ("customer", score, rec.sentence_id)
+            )
+        for company, rels in records.items():
+            scores = {"supplier": 0.0, "customer": 0.0, "other": 0.0}
+            for rel, s, _sid in rels:
+                scores[rel] += s
+            label = sorted(scores.items(), key=lambda x: -x[1])[0][0]
+            out_rows.append((url, company, label, len(rels)))
+    return pd.DataFrame(
+        out_rows, columns=["url", "company", "relationship", "n_evidence"]
+    ).astype({"n_evidence": "int64"})
 
 
 def main() -> None:
@@ -331,13 +505,11 @@ def main() -> None:
         "multimodal_frames": gen_multimodal_frames(),
         "pagerank": gen_pagerank(),
         "dedup_clusters": gen_dedup_clusters(),
+        "doc_relations": gen_doc_relations(),
     }
     for name, df in tables.items():
         df.to_parquet(OUT / f"{name}.parquet", index=False)
         print(f"{name}: {len(df)} rows -> {OUT / (name + '.parquet')}")
-    snap = gen_doc_relations_snapshot()
-    snap.to_parquet(OUT / "doc_relations_snapshot.parquet", index=False)
-    print(f"doc_relations_snapshot: {len(snap)} rows (pinned Spark output)")
 
 
 if __name__ == "__main__":

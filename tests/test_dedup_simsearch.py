@@ -315,3 +315,40 @@ def test_decontaminate_removes_eval_overlap(spark):
     # short n (harder gate) still keeps the clean doc
     kept5 = set(D.decontaminate(docs, evals, n=5).toPandas().doc_id)
     assert 2 in kept5
+
+
+def test_near_dup_clusters_long_chain_pointer_jumping(spark):
+    """A 30-node chain (the ADVICE r2 repro: one-hop propagation yields 10
+    split clusters at the default iteration cap) must converge to ONE
+    component with one canonical row — pointer jumping gives O(log n)
+    rounds."""
+    import warnings
+
+    from finance_sc_relations_spark.operators.dedup import near_dup_clusters
+
+    n = 30
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # convergence warning must NOT fire
+        out = near_dup_clusters(docs, pairs=pairs, max_iterations=8).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_near_dup_clusters_warns_when_cap_hit(spark):
+    import pytest
+
+    from finance_sc_relations_spark.operators.dedup import near_dup_clusters
+
+    n = 40
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        near_dup_clusters(docs, pairs=pairs, max_iterations=1).collect()

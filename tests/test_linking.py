@@ -380,3 +380,86 @@ def test_pagerank_constant_work_per_iteration(spark):
     assert late <= early * 1.25 + 4, (
         f"per-iteration work grows: stages 2->6 {early}, 6->10 {late}"
     )
+
+
+def test_canonicalize_long_alias_chain_inherits_lei(spark):
+    """A 30-surface alias chain anchored by ONE dictionary match at the far
+    end: every surface must inherit the LEI within the default iteration cap
+    (one-hop propagation needs 29 rounds; pointer jumping needs ~5)."""
+    import warnings
+
+    from finance_sc_relations_spark.operators.linking import (
+        canonicalize_unmatched,
+    )
+
+    n = 30
+    surfaces = [f"Chain Co {i:02d}" for i in range(n)]
+    linked = spark.createDataFrame(
+        [(surfaces[0], "LEI000042")] + [(s, None) for s in surfaces[1:]],
+        "surface string, entity_id string",
+    )
+    alias_edges = spark.createDataFrame(
+        [(surfaces[i], surfaces[i + 1]) for i in range(n - 1)],
+        "target string, alias string",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = {
+            r["surface"]: r["entity_id"]
+            for r in canonicalize_unmatched(
+                linked, alias_edges, max_iterations=8
+            ).collect()
+        }
+    assert len(out) == n
+    assert set(out.values()) == {"LEI000042"}
+
+
+def test_sort_prefix_second_level_blocking():
+    """L5 second level (reporter.py:158-165): 5-char sort prefix of the
+    punct-stripped lowercase name, plus the leading-'the' dual query."""
+    from finance_sc_relations_spark.operators.linking import (
+        sort_normalize,
+        sort_prefixes,
+    )
+
+    assert sort_normalize("Acme-Corp. Inc") == "acmecorp inc"
+    assert sort_prefixes("Acme Corporation") == ["acme"]  # trailing space stripped
+    # leading 'the': both the the-inclusive 9-char and de-the'd 5-char keys
+    assert sort_prefixes("The Acme Corporation") == ["the acme", "acme"]
+    assert sort_prefixes("Zy") == ["zy"]  # short names: whole string
+
+
+def test_sort_prefix_gates_fuzzy_candidates_both_tiers(spark):
+    """Two dictionary entries share prefix2 but differ in the first five
+    sort chars; a fuzzy surface may only match/candidate the sort-compatible
+    one — in BOTH linking tiers (the DynamoDB begins_with condition)."""
+    import pandas as pd
+
+    from finance_sc_relations_spark.operators.linking import (
+        link_surfaces,
+        link_surfaces_distributed,
+    )
+
+    cd_pdf = pd.DataFrame(
+        [
+            {"entity_id": "LEI1", "canonical_name": "Sonexa Materials Inc",
+             "prefix2": "so", "aliases": []},
+            # same prefix2 'so', different sort prefix ('solan' vs 'sonex')
+            {"entity_id": "LEI2", "canonical_name": "Solanex Materials Inc",
+             "prefix2": "so", "aliases": []},
+        ]
+    )
+    cd = spark.createDataFrame(cd_pdf)
+    surfaces = spark.createDataFrame(
+        [("Sonexa Materials Incorporated",)], "surface string"
+    )
+    for tier in (
+        lambda: link_surfaces(surfaces, cd_pdf, match_thresh=0.9),
+        lambda: link_surfaces_distributed(surfaces, cd, match_thresh=0.9),
+    ):
+        rows = tier().collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["entity_id"] == "LEI1"
+        cand_ids = {c["entity_id"] for c in r["candidates"]}
+        assert "LEI2" not in cand_ids  # sort-prefix-incompatible

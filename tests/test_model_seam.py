@@ -77,3 +77,42 @@ def test_model_from_broadcast_caches_per_model_id(spark):
     assert m1 is m2
     out = m1.score_batch(["a", "b"])
     assert out.shape == (2, 3)
+
+
+def test_checkpoint_file_model_drives_both_paths(spark, tmp_path):
+    """The model.pth.tar flow (infer.py:67-133): a checkpoint FILE loaded
+    once per executor (keyed by path+mtime) drives the pipeline on the fused
+    AND unfused paths — the broadcast seam's sibling for --files / shared-fs
+    shipped checkpoints."""
+    from finance_sc_relations_spark.operators.models import (
+        model_from_path,
+        save_model_checkpoint,
+    )
+
+    ckpt = str(tmp_path / "model.pth.tar")
+    save_model_checkpoint(ckpt, ConstantModel([0.05, 0.05, 0.9]))
+    # per-executor singleton: same object back for the same (path, mtime)
+    assert model_from_path(ckpt) is model_from_path(ckpt)
+    # a REPLACED checkpoint (new mtime) must reload, not serve the stale one
+    import os
+
+    old = model_from_path(ckpt)
+    save_model_checkpoint(ckpt, ConstantModel([0.9, 0.05, 0.05]))
+    os.utime(ckpt, ns=(os.stat(ckpt).st_atime_ns, os.stat(ckpt).st_mtime_ns + 1))
+    assert model_from_path(ckpt) is not old
+
+    save_model_checkpoint(ckpt, ConstantModel([0.05, 0.9, 0.05]))
+    pages_pdf, _, companies_pdf = generate_corpus(20)
+    for fused in (True, False):
+        cfg = PipelineConfig(
+            fuse_extraction=fused, reverse=False, re_model_path=ckpt
+        )
+        out = run_pipeline(
+            spark,
+            spark.createDataFrame(pages_pdf),
+            spark.createDataFrame(companies_pdf),
+            cfg,
+        )
+        cls = out["classified"].select("relation", "score").toPandas()
+        assert len(cls) > 0 and set(cls["relation"]) == {"customer"}
+        assert (abs(cls["score"] - 0.9) < 1e-6).all()
