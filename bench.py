@@ -113,6 +113,20 @@ def bench_default() -> None:
     kg_sec = time.perf_counter() - t0
     queries["kg_pipeline"] = round(kg_sec, 3)
 
+    # Graph family wall times at sf0.01 (separate small-scale section, NOT
+    # in the suite total): khop_2/pagerank/dedup_clusters are oracle-checked
+    # at sf0.01 and their fixture-graph shapes blow up quadratically at
+    # sf0.1 — this section makes round-over-round regressions in the
+    # iterative/graph operators visible without distorting the headline.
+    graph_sf_dir = os.environ.get(
+        "SPARK_GRAFT_GRAPH_SF_DIR", "/root/testdata/sf0.01"
+    )
+    graph_queries = {}
+    for name in ["khop_2", "pagerank", "dedup_clusters"]:
+        t0 = time.perf_counter()
+        qs[name](spark, graph_sf_dir).count()
+        graph_queries[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -122,6 +136,7 @@ def bench_default() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": _sf_from_dir(SF_DIR),
+                "queries_graph_sf001": graph_queries,
                 "kg_triples_per_sec": round(kg["n_triples"] / kg_sec, 2),
                 "kg_pages_per_sec": round(kg["n_pages"] / kg_sec, 2),
                 "cpus": CPUS,

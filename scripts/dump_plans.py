@@ -53,6 +53,32 @@ def main() -> None:
         " auto-broadcasts instead. Dim joins stay broadcast by hint.\n"
         f"\n```\n{plan}```\n"
     )
+    # link_triples above the broadcast threshold: the surface map (one row
+    # per distinct corpus surface, ~10^7+ at web scale) must NOT ride a
+    # broadcast — with the dispatch forced to the large-map tier and
+    # auto-broadcast off, both endpoint joins plan as shuffle joins.
+    from finance_sc_relations_spark.operators.graph import link_triples
+
+    triples = spark.createDataFrame(
+        [("u", "s0", "r0", "A", "supplies_to", "B", 0.9)],
+        "url string, sentence_id string, r_id string, subj_surface string,"
+        " pred string, obj_surface string, score double",
+    )
+    s2e = spark.createDataFrame(
+        [("A", "LEI1"), ("B", "LEI2")], "surface string, entity_id string"
+    )
+    df = link_triples(triples, s2e, max_broadcast_rows=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    out.append(
+        "## link_triples (surface map ABOVE max_broadcast_rows — the 100 TB"
+        " shape)\n\nNo broadcast hint on the surface→entity map: both"
+        " endpoint joins are plain equi-joins (SMJ here with auto-broadcast"
+        " off; AQE picks the strategy at runtime). Below the threshold the"
+        " same code emits the broadcast-hint plan.\n"
+        f"\n```\n{plan}```\n"
+    )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     (REPO / "PLANS.md").write_text("\n".join(out))
     print(f"wrote PLANS.md ({len(SHOW) + 1} plans)")
