@@ -187,15 +187,24 @@ def k_hop_paths(edges: DataFrame, k: int = 2, max_paths_per_hop: int | None = No
 
     max_paths_per_hop caps paths PER SOURCE via a window row_number — a
     global limit() would funnel the whole frontier through one partition
-    and silently bias results toward whichever partitions arrive first."""
+    and silently bias results toward whichever partitions arrive first.
+
+    The deduped edge base is materialized ONCE (eager localCheckpoint,
+    ContextCleaner-managed): it seeds the paths AND serves as the step
+    relation of every hop, and callers often pass an expensive join as
+    `edges` — without the cut, that upstream lineage re-executes once per
+    consumer per hop."""
     from pyspark.sql import Window
 
-    paths = edges.select(
-        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
-    ).distinct().withColumn("hops", F.lit(1))
-    step = edges.select(
-        F.col("subj_id").alias("dst"), F.col("obj_id").alias("nxt")
-    ).distinct()
+    base = (
+        edges.select(F.col("subj_id").alias("src"), F.col("obj_id").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    paths = base.withColumn("hops", F.lit(1))
+    step = base.select(
+        F.col("src").alias("dst"), F.col("dst").alias("nxt")
+    )
     for _ in range(k - 1):
         paths = (
             paths.join(step, "dst")
