@@ -1118,6 +1118,157 @@ FROM read_parquet('{_EXPECTED_DIR}/multimodal_frames.parquet')
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: sessionization, triangles, co-occurrence, curation DAG
+# ---------------------------------------------------------------------------
+
+def _q_sessionize(spark, sf_dir):
+    """Clickstream sessionization over the events table (30-min gap rule):
+    lag + cumulative-sum window, then one per-session aggregate — two
+    shuffles on user_id. Live SQL oracle (same window algebra in DuckDB)."""
+    from finance_sc_relations_spark.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30).withColumn(
+        "session_idx", F.col("session_idx").cast("long")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM marked
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess GROUP BY 1, 2
+"""
+
+
+def _q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle participation over the nation-level supply graph
+    (suppliers' nations -> customers' nations) — each undirected triangle
+    enumerated exactly once via (u<v) canonical edges and two equi-joins."""
+    from finance_sc_relations_spark.operators.graph import triangle_count
+
+    lineitem = _fact(spark, sf_dir, "lineitem")
+    orders = _fact(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("s_nationkey").alias("subj_id"),
+            F.col("c_nationkey").alias("obj_id"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT s.s_nationkey AS a, c.c_nationkey AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), und AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e WHERE a != b
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), nodes AS (
+  SELECT a AS entity_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT entity_id, count(*) AS n_triangles FROM nodes GROUP BY 1
+"""
+
+
+def _q_token_cooccurrence(spark, sf_dir):
+    """Document-level token co-occurrence counts (PMI inputs): df-filtered
+    vocabulary BEFORE the per-doc pair join bounds the quadratic fan-out.
+    Exact-int counts cross-checked live against DuckDB; the derived PMI
+    double is excluded from the hash (log libm differences)."""
+    from finance_sc_relations_spark.operators.text_stats import (
+        token_cooccurrence,
+    )
+
+    return token_cooccurrence(
+        _t(spark, sf_dir, "documents"), min_df=150
+    ).select("token_a", "token_b", "c_ab", "c_a", "c_b", "n_docs")
+
+
+_TOKEN_COOC_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'),
+           t -> length(t) > 0))) AS token
+  FROM documents
+), dfreq AS (
+  SELECT token, count(*) AS df FROM toks GROUP BY 1
+), vocab AS (
+  SELECT token, df FROM dfreq WHERE df >= 150
+), kept AS (
+  SELECT t.doc_id, t.token FROM toks t JOIN vocab v USING (token)
+), pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, count(*) AS c_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+)
+SELECT token_a, token_b,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(va.df AS BIGINT) AS c_a,
+       CAST(vb.df AS BIGINT) AS c_b,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+FROM pairs
+JOIN vocab va ON va.token = pairs.token_a
+JOIN vocab vb ON vb.token = pairs.token_b
+"""
+
+
+def _q_corpus_curation(spark, sf_dir):
+    """The END-TO-END curation DAG (plans/curate.py): lang gate -> quality
+    gate -> exact dedup -> MinHash near-dup canonical -> 13-gram
+    decontamination vs the doc_id%50==0 eval slice. Oracle: the whole chain
+    recomputed in plain Python (scripts/gen_expected.py::gen_curation,
+    union-find + manual gram/fingerprint math)."""
+    from finance_sc_relations_spark.plans.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = curate_corpus(corpus, evals, min_quality=0.5)
+    return out["curated"].select("doc_id", "source")
+
+
+_CURATION_SQL = f"""
+SELECT doc_id, source
+FROM read_parquet('{_EXPECTED_DIR}/curation_survivors.parquet')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "supply_edges": _supply_edges,
@@ -1157,6 +1308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,
+        "sessionize": _q_sessionize,
+        "triangle_count": _q_triangle_count,
+        "token_cooccurrence": _q_token_cooccurrence,
+        "corpus_curation": _q_corpus_curation,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -1201,6 +1356,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "kg_triples_fixture": _KG_TRIPLES_SQL,
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "triangle_count": _TRIANGLES_SQL,
+        "token_cooccurrence": _TOKEN_COOC_SQL,
+        "corpus_curation": _CURATION_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     }

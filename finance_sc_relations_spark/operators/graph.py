@@ -222,6 +222,38 @@ def k_hop_paths(edges: DataFrame, k: int = 2, max_paths_per_hop: int | None = No
     return paths
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation over the undirected projection of
+    the edge table: (entity_id, n_triangles).
+
+    Edges are canonicalized to (u < v) so each triangle (a < b < c) is
+    enumerated exactly once by two equi-joins: e(a,b) ⋈ e(b,c) ⋈ e(a,c).
+    The canonical edge set is materialized once (it feeds all three join
+    legs). At web scale the standard upgrade is degree orientation (direct
+    each edge toward the higher-degree endpoint) so wedge enumeration is
+    bounded by arboricity instead of max degree — same output, swap the
+    ordering key; AQE skew-join covers the moderate-skew regime here."""
+    und = (
+        edges.select(
+            F.least("subj_id", "obj_id").alias("u"),
+            F.greatest("subj_id", "obj_id").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .select(F.col("node").cast("long").alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
 def vertex_degrees(edges: DataFrame) -> DataFrame:
     """Per-entity in/out degree over the edge table (graph profile stats)."""
     out_d = edges.groupBy(F.col("subj_id").alias("entity_id")).agg(

@@ -187,3 +187,62 @@ def sample_token_budget(
         .filter(F.col("cum_tokens") <= tokens_per_stratum)
         .drop("_ord")
     )
+
+
+def token_cooccurrence(
+    docs: DataFrame,
+    min_df: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level token co-occurrence statistics + PMI — the corpus
+    association-mining op of a training-data pipeline (collocation /
+    boilerplate discovery).
+
+    (token_a < token_b, c_ab, c_a, c_b, n_docs, pmi) where c_ab counts docs
+    containing BOTH tokens, c_x docs containing x, and
+    pmi = ln(n_docs * c_ab / (c_a * c_b)).
+
+    Scale shape: per-doc DISTINCT tokens explode once; the vocabulary is
+    df-filtered (min_df) BEFORE the per-doc pair self-join, which bounds the
+    quadratic pair fan-out to frequent tokens only (the long unique-token
+    tail never pairs); all joins are equi-joins on token/doc so AQE handles
+    hot tokens. Counts are exact ints — engine-portable; PMI is a derived
+    double for consumers (compare the counts, not the log)."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+        ).alias("token"),
+    ).filter(F.length("token") > 0)
+    dfreq = tokens.groupBy("token").agg(F.count("*").alias("df"))
+    vocab = dfreq.filter(F.col("df") >= min_df)
+    kept = tokens.join(vocab, "token", "left_semi")
+    a = kept.select("doc", F.col("token").alias("token_a"))
+    b = kept.select("doc", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    n_docs = docs.count()
+    ca = vocab.select(F.col("token").alias("token_a"), F.col("df").alias("c_a"))
+    cb = vocab.select(F.col("token").alias("token_b"), F.col("df").alias("c_b"))
+    return (
+        pairs.join(ca, "token_a")
+        .join(cb, "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.log(
+                F.lit(float(n_docs)) * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))
+            ).alias("pmi"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""End-to-end corpus curation DAG — the C4/RefinedWeb-style composition of
+the curation operators this engine ships, in the canonical order a
+training-data pipeline applies them:
+
+    lang-ID gate -> quality gate -> exact dedup -> near-dup (MinHash+LSH
+    connected components, keep canonical) -> benchmark decontamination
+
+Each stage is one of the already-oracle-checked operators; this module only
+composes filters (left_semi joins on doc_id — no row widening, no extra
+columns carried between stages) and, optionally, a per-stage survivor-count
+report (the lineage evidence a curation run must emit: what was dropped
+where, no silent shrinkage).
+
+Scale notes: every gate is a semi-join on the id — broadcastable while the
+surviving id set fits (AQE decides), plain shuffle join beyond; the
+expensive signature stages (minhash, 13-gram explode) run AFTER the cheap
+gates have shrunk the corpus, which is the ordering that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import decontaminate, exact_dedup, near_dup_clusters
+from ..operators.text_stats import lang_id, quality_score_col
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_texts: DataFrame | None = None,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    decontaminate_n: int = 13,
+    with_report: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_params,
+) -> dict:
+    """Returns {"curated": DataFrame, "report": DataFrame | None}.
+
+    report (when with_report) is one row per stage: (stage, n_docs) with the
+    survivor count AFTER that stage — computed over persisted stage frames
+    so the chain executes once, not once per count."""
+    from pyspark import StorageLevel
+
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    kept_lang = lang_id(docs, text_col=text_col, id_col=id_col).filter(
+        F.col("detected_lang") == lang
+    )
+    cur = docs.join(kept_lang.select(id_col), id_col, "left_semi")
+    stages.append(("lang", cur))
+
+    cur = cur.filter(quality_score_col(text_col) >= min_quality)
+    stages.append(("quality", cur))
+
+    cur = exact_dedup(cur, text_col=text_col, id_col=id_col)
+    stages.append(("exact_dedup", cur))
+
+    clusters = near_dup_clusters(cur, id_col=id_col, **minhash_params)
+    cur = cur.join(
+        clusters.filter(F.col("is_canonical")).select(id_col), id_col, "left_semi"
+    )
+    stages.append(("near_dup", cur))
+
+    if eval_texts is not None:
+        cur = decontaminate(
+            cur, eval_texts, n=decontaminate_n, text_col=text_col, id_col=id_col
+        )
+        stages.append(("decontaminate", cur))
+
+    report = None
+    if with_report:
+        persisted = [
+            (name, df.persist(StorageLevel.MEMORY_AND_DISK))
+            for name, df in stages
+        ]
+        spark = docs.sparkSession
+        report = spark.createDataFrame(
+            [(name, df.count()) for name, df in persisted],
+            "stage string, n_docs long",
+        )
+        cur = persisted[-1][1]
+    return {"curated": cur, "report": report}

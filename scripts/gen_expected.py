@@ -360,6 +360,124 @@ def gen_pagerank(iterations=10, damping=0.85) -> pd.DataFrame:
     )
 
 
+_STOP = None
+
+
+def _quality(text: str) -> float:
+    """Pure-python replica of text_stats.quality_score_col (Java-regex
+    semantics: ASCII \\w/\\s) with round-half-up to 4 decimals."""
+    global _STOP
+    if _STOP is None:
+        from finance_sc_relations_spark.operators.text_stats import _STOPWORDS
+
+        _STOP = set(_STOPWORDS)
+    n = len(text)
+    if n == 0:
+        punct = 0.0
+    else:
+        punct = (n - len(re.sub(r"[^\w\s]", "", text, flags=re.ASCII))) / n
+    words = re.split(r"\s+", text.lower().strip())
+    if words:
+        stop = len(set(words) & _STOP) / max(len(set(words)), 1)
+    else:
+        stop = 0.0
+    q = (
+        min(n / 500.0, 1.0) * 0.4
+        + max(0.0, 1.0 - punct * 5.0) * 0.3
+        + min(stop * 4.0, 1.0) * 0.3
+    )
+    return _round_half_up(q, 4)
+
+
+def _word_ngrams(text: str, n: int) -> set:
+    """Replica of dedup._ngram_col: distinct word n-grams, slice semantics
+    (a shorter-than-n doc yields its whole word list as one 'gram')."""
+    words = re.split(r"\s+", text.lower().strip())
+    upper = max(len(words) - n, 0)
+    return {g for g in (" ".join(words[i : i + n]) for i in range(upper + 1)) if g}
+
+
+def gen_curation(min_quality=0.5, decon_n=13) -> pd.DataFrame:
+    """End-to-end curation survivors, recomputed ENTIRELY in plain Python:
+    lang gate (trigram profiles) -> quality gate -> exact dedup (md5
+    fingerprint, min doc_id wins) -> MinHash/LSH near-dup union-find (keep
+    root) -> 13-gram decontamination vs the doc_id%50==0 eval slice. The
+    Spark side composes five operators through plans/curate.py; this checks
+    the whole composition against a second implementation."""
+    docs = duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    eval_rows = docs[docs.doc_id % 50 == 0]
+    corpus = docs[docs.doc_id % 50 != 0]
+
+    # 1. lang gate (same detector as gen_lang_id)
+    profiles = {lang: set(g) for lang, g in _LANG_PROFILES.items() if g}
+
+    def detect(text: str) -> str:
+        if any("一" <= ch <= "鿿" for ch in text[:400]):
+            return "zh"
+        t = f" {text[:400].lower()} "
+        grams = {t[i : i + 3] for i in range(len(t) - 2)}
+        best, best_hits = "en", -1
+        for lang, prof in profiles.items():
+            hits = len(grams & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    cur = corpus[[detect(t) == "en" for t in corpus.text]]
+    # 2. quality gate
+    cur = cur[[_quality(t) >= min_quality for t in cur.text]]
+    # 3. exact dedup: min doc_id per md5(lower(ws-normalized)) fingerprint
+    fp = [
+        hashlib.md5(re.sub(r"\s+", " ", t.strip()).lower().encode()).hexdigest()
+        for t in cur.text
+    ]
+    cur = cur.assign(_fp=fp)
+    cur = cur.loc[cur.groupby("_fp").doc_id.idxmin()].sort_values("doc_id")
+    # 4. near-dup union-find over MinHash/LSH pairs among survivors
+    num_perm, bands, shingle_n, threshold = 64, 16, 3, 0.5
+    a, b = _minhash_params(num_perm)
+    mersenne = (1 << 61) - 1
+    sigs = {}
+    for rec in cur.itertuples(index=False):
+        x = _shingle_hashes(rec.text, shingle_n)
+        if x.size == 0:
+            sigs[rec.doc_id] = np.zeros(num_perm, dtype=np.int64)
+        else:
+            sigs[rec.doc_id] = (
+                ((np.outer(a, x) + b[:, None]) % mersenne).min(axis=1).astype(np.int64)
+            )
+    rows_per_band = num_perm // bands
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for band in range(bands):
+            key = (band, tuple(sig[band * rows_per_band : (band + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        for i, j in itertools.combinations(sorted(members), 2):
+            k = int((sigs[i] == sigs[j]).sum())
+            if _round_half_up(k / num_perm, 4) >= threshold:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    cur = cur[[find(int(d)) == int(d) for d in cur.doc_id]]
+    # 5. decontaminate vs eval 13-grams
+    ev_grams = set()
+    for t in eval_rows.text:
+        ev_grams |= _word_ngrams(t, decon_n)
+    cur = cur[[not (_word_ngrams(t, decon_n) & ev_grams) for t in cur.text]]
+    return cur[["doc_id", "source"]].reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def gen_multimodal_frames(n=30, every_ms=1000) -> pd.DataFrame:
     """Frame/window payload hashes: audio windows are REAL PCM slices cut
     from the manual RIFF parse (independent of the operator's wave-module
@@ -506,6 +624,7 @@ def main() -> None:
         "pagerank": gen_pagerank(),
         "dedup_clusters": gen_dedup_clusters(),
         "doc_relations": gen_doc_relations(),
+        "curation_survivors": gen_curation(),
     }
     for name, df in tables.items():
         df.to_parquet(OUT / f"{name}.parquet", index=False)

@@ -1,0 +1,116 @@
+"""Round-3 additions: sessionization, triangle counting, token
+co-occurrence, and the end-to-end curation DAG."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minutes: float) -> datetime:
+    return datetime(2024, 1, 1) + timedelta(minutes=minutes)
+
+
+def test_sessionize_gap_rule(spark):
+    from finance_sc_relations_spark.operators.sessions import sessionize
+
+    rows = [
+        # user 1: two sessions (gap of 31 min between event 2 and 3)
+        (0, _ts(0), 1, "click", 1.0, "{}"),
+        (1, _ts(10), 1, "click", 2.0, "{}"),
+        (2, _ts(41), 1, "click", 4.0, "{}"),
+        # user 2: one session, exactly-30-min gap does NOT split
+        (3, _ts(0), 2, "view", 1.5, "{}"),
+        (4, _ts(30), 2, "view", 2.5, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)]["n_events"] == 2 and out[(1, 1)]["n_events"] == 1
+    assert out[(2, 0)]["n_events"] == 2
+    assert out[(1, 0)]["value_cents"] == 300
+    assert out[(1, 0)]["end_us"] - out[(1, 0)]["start_us"] == 10 * 60 * 1_000_000
+
+
+def test_triangle_count_small_graph(spark):
+    from finance_sc_relations_spark.operators.graph import triangle_count
+
+    # triangle a-b-c plus pendant edge c-d; directions/duplicates ignored
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)],
+        "subj_id long, obj_id long",
+    )
+    out = {r["entity_id"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_token_cooccurrence_counts(spark):
+    from finance_sc_relations_spark.operators.text_stats import (
+        token_cooccurrence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta"),
+            (2, "alpha delta"),
+            (3, "beta beta alpha"),  # duplicate tokens count once per doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["token_a"], r["token_b"]): r
+        for r in token_cooccurrence(docs, min_df=2).collect()
+    }
+    ab = out[("alpha", "beta")]
+    assert ab["c_ab"] == 3 and ab["c_a"] == 4 and ab["c_b"] == 3
+    assert ab["n_docs"] == 4
+    # gamma/delta are below min_df=2: never paired
+    assert all("gamma" not in k and "delta" not in k for k in out)
+    import math
+
+    assert ab["pmi"] == pytest.approx(math.log(4 * 3 / (4 * 3)))
+
+
+def test_curate_corpus_stages_and_report(spark):
+    from finance_sc_relations_spark.plans.curate import curate_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was a good day "
+        "for all of the animals in the forest with many things to do "
+    ) * 3
+    other = (
+        "markets were steady on tuesday as traders weighed the new report "
+        "from the central bank about rates and the outlook for inflation "
+    ) * 3
+    docs = spark.createDataFrame(
+        [
+            (0, good + "unique one", "en-doc"),
+            (1, "zzz qqq xxx !!!! ####", "junk"),          # fails quality
+            (2, good + "unique one", "exact-dup of 0"),     # exact dup
+            (3, good + "unique one extra", "near-dup of 0"),
+            (4, other + "a keeper with a different body", "keeper"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = curate_corpus(
+        docs.select("doc_id", "text", "source"),
+        eval_texts=None,
+        min_quality=0.5,
+        with_report=True,
+    )
+    kept = sorted(r["doc_id"] for r in out["curated"].collect())
+    # 1 fails quality; 2 exact-dups 0; 3 near-dups 0 (minhash); 0 & 4 remain
+    assert kept == [0, 4]
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert report["input"] == 5
+    assert report["quality"] == 4
+    assert report["exact_dedup"] == 3
+    assert report["near_dup"] == 2
