@@ -1269,6 +1269,53 @@ FROM read_parquet('{_EXPECTED_DIR}/curation_survivors.parquet')
 """
 
 
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-sentence fraction,
+    top-2-gram occupancy) in basis points — pure Catalyst array algebra +
+    one explode/agg; live DuckDB oracle (RE2 lacks lookbehind, so the
+    oracle splits sentences via a chr(1) sentinel instead)."""
+    from finance_sc_relations_spark.operators.text_stats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), ngram_n=2)
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           string_split(regexp_replace(text, '([.!?])[\s]+', '' || chr(1), 'g'), chr(1)),
+           s -> trim(s)), s -> length(s) > 0) AS sents,
+         list_filter(list_transform(
+           range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),
+           i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i+1:i+2], ' ')),
+           g -> length(g) > 0) AS grams
+  FROM documents
+), sent_stats AS (
+  SELECT doc_id,
+         CASE WHEN len(sents) > 0
+              THEN CAST(floor((1.0 - len(list_distinct(sents)) * 1.0 / len(sents)) * 10000 + 0.5) AS BIGINT)
+              ELSE 0 END AS dup_sent_bp,
+         len(grams) AS n_grams
+  FROM base
+), top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT s.doc_id, s.dup_sent_bp,
+       CASE WHEN s.n_grams > 0
+            THEN CAST(floor(coalesce(t.top_c, 0) * 1.0 / s.n_grams * 10000 + 0.5) AS BIGINT)
+            ELSE 0 END AS top_ngram_bp
+FROM sent_stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "supply_edges": _supply_edges,
@@ -1308,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,
+        "repetition_stats": _q_repetition_stats,
         "sessionize": _q_sessionize,
         "triangle_count": _q_triangle_count,
         "token_cooccurrence": _q_token_cooccurrence,
@@ -1356,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "kg_triples_fixture": _KG_TRIPLES_SQL,
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
+        "repetition_stats": _REPETITION_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "triangle_count": _TRIANGLES_SQL,
         "token_cooccurrence": _TOKEN_COOC_SQL,

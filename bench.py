@@ -86,7 +86,9 @@ def bench_default() -> None:
         "supply_edges", "pricing_summary", "region_revenue", "topk_window",
         "argmax_per_group", "events_daily", "skewed_user_agg",
         "token_stats", "fingerprint", "exact_dedup", "ann_brute_topk",
-        "corpus_report", "token_budget_sample",
+        "corpus_report", "token_budget_sample", "repetition_stats",
+        "sessionize", "triangle_count", "token_cooccurrence",
+        "corpus_curation",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 

@@ -246,3 +246,83 @@ def token_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    ngram_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality web text):
+
+    - dup_sent_frac: fraction of the doc's sentences that are duplicates
+      (1 - distinct/total over [.!?]-split sentences);
+    - top_ngram_frac: share of the doc's word-n-gram occurrences taken by
+      the single most frequent n-gram (n=2 default).
+
+    All-Catalyst: the sentence measure is pure array algebra; the n-gram
+    mode is one explode + two map-side-combinable aggregations keyed by
+    doc_id — no Python, scales linearly. Fractions emitted in basis points
+    (exact ints, engine-portable)."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: F.trim(s)
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    base = docs.select(
+        F.col(id_col),
+        sents.alias("sents"),
+        _ngram_all_col(text_col, ngram_n).alias("grams"),
+    )
+    sent_stats = base.select(
+        id_col,
+        F.when(
+            F.size("sents") > 0,
+            F.floor(
+                (1.0 - F.size(F.array_distinct("sents")) / F.size("sents"))
+                * 10000
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_sent_bp"),
+        F.size("grams").alias("_n_grams"),
+    )
+    gram_rows = base.select(id_col, F.explode("grams").alias("gram"))
+    top = (
+        gram_rows.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top"))
+    )
+    return (
+        sent_stats.join(top, id_col, "left")
+        .select(
+            id_col,
+            "dup_sent_bp",
+            F.when(
+                F.col("_n_grams") > 0,
+                F.floor(
+                    F.coalesce(F.col("_top"), F.lit(0)) / F.col("_n_grams") * 10000
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_ngram_bp"),
+        )
+    )
+
+
+def _ngram_all_col(text_col, n: int):
+    """ALL word n-grams (with repeats — unlike dedup's distinct grams)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.filter(ngrams, lambda g: F.length(g) > 0)

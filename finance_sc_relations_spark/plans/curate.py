@@ -37,14 +37,19 @@ def curate_corpus(
     text_col: str = "text",
     **minhash_params,
 ) -> dict:
-    """Returns {"curated": DataFrame, "report": DataFrame | None}.
+    """Returns {"curated": DataFrame, "report": DataFrame | None,
+    "cached": list[DataFrame]}.
 
     report (when with_report) is one row per stage: (stage, n_docs) with the
     survivor count AFTER that stage — computed over persisted stage frames
-    so the chain executes once, not once per count."""
+    so the chain executes once, not once per count. "cached" lists the
+    frames this call persisted (branch points consumed by several
+    downstream passes); long-lived sessions should unpersist them after
+    materializing the curated output."""
     from pyspark import StorageLevel
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cached: list[DataFrame] = []
 
     kept_lang = lang_id(docs, text_col=text_col, id_col=id_col).filter(
         F.col("detected_lang") == lang
@@ -55,7 +60,14 @@ def curate_corpus(
     cur = cur.filter(quality_score_col(text_col) >= min_quality)
     stages.append(("quality", cur))
 
-    cur = exact_dedup(cur, text_col=text_col, id_col=id_col)
+    # Branch point: the deduped frame feeds the MinHash signature pass AND
+    # the canonical semi-join (and, transitively, decontaminate's two
+    # consumers) — without the persist the lang/quality/window chain above
+    # re-executes once per consumer. Bounded: survivors only.
+    cur = exact_dedup(cur, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached.append(cur)
     stages.append(("exact_dedup", cur))
 
     clusters = near_dup_clusters(cur, id_col=id_col, **minhash_params)
@@ -65,6 +77,9 @@ def curate_corpus(
     stages.append(("near_dup", cur))
 
     if eval_texts is not None:
+        # decontaminate consumes its input twice (gram explode + anti-join)
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(cur)
         cur = decontaminate(
             cur, eval_texts, n=decontaminate_n, text_col=text_col, id_col=id_col
         )
@@ -82,4 +97,5 @@ def curate_corpus(
             "stage string, n_docs long",
         )
         cur = persisted[-1][1]
-    return {"curated": cur, "report": report}
+        cached.extend(df for _, df in persisted)
+    return {"curated": cur, "report": report, "cached": cached}

@@ -114,3 +114,25 @@ def test_curate_corpus_stages_and_report(spark):
     assert report["quality"] == 4
     assert report["exact_dedup"] == 3
     assert report["near_dup"] == 2
+
+
+def test_repetition_stats(spark):
+    from finance_sc_relations_spark.operators.text_stats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "One two. One two. Three four."),   # 1 dup sentence of 3
+            (1, "spam spam spam spam"),              # top 2-gram dominates
+            (2, ""),                                  # degenerate
+            (3, "All distinct sentences here. Nothing repeats at all."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["dup_sent_bp"] == 3333  # 1 - 2/3
+    # 'spam spam' occupies all 3 of the 3 bigram slots
+    assert out[1]["top_ngram_bp"] == 10000 and out[1]["dup_sent_bp"] == 0
+    assert out[2]["dup_sent_bp"] == 0 and out[2]["top_ngram_bp"] == 0
+    assert out[3]["dup_sent_bp"] == 0 and out[3]["top_ngram_bp"] < 10000
