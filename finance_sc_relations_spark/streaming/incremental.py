@@ -106,3 +106,41 @@ def stream_event_rollup(
             F.col("w.start").alias("day"), "event_type", "n", "total_value_cents"
         )
     )
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization — the Structured-Streaming twin of
+    operators/sessions.py::sessionize, built on the native
+    ``session_window`` (gap-based merging windows): state per (user,
+    open-session) only, closed sessions emitted and dropped once the
+    watermark passes the session end — bounded state at any stream length.
+
+    Output: (user_id, session_start, session_end, n_events, value_cents).
+    Note the batch operator additionally numbers sessions per user
+    (session_idx); a global per-user index is meaningless on an unbounded
+    stream, so the streaming form keys sessions by their window instead."""
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        events_stream.withColumn("_ts", ts)
+        .withWatermark("_ts", watermark)
+        .groupBy(F.col(user_col).alias("user_id"), F.session_window("_ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )

@@ -216,3 +216,51 @@ def test_streaming_entity_ids_stable_across_batches(spark, tmp_path):
     assert got["subj_id"].nunique() == 1  # same SF: id in every batch
     assert got["subj_id"].iloc[0].startswith("SF:zorblatt")
     assert got["obj_id"].nunique() == 1 and got["obj_id"].iloc[0].startswith("LEI")
+
+
+def test_stream_sessionize_matches_batch_sessions(spark, tmp_path):
+    """Native session_window streaming sessions agree with the batch
+    operator on (user, n_events, value_cents) for a closed stream."""
+    from finance_sc_relations_spark.operators.sessions import sessionize
+    from finance_sc_relations_spark.streaming.incremental import (
+        stream_sessionize,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00", "2024-01-01 00:10",  # u1 session A
+                    "2024-01-01 01:00", "2024-01-01 01:05",  # u1 session B
+                    "2024-01-01 00:00", "2024-01-01 02:00",  # u2 two sessions
+                ]
+            ),
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_type": ["click"] * 6,
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "props": ["{}"] * 6,
+        }
+    )
+    ev = spark.createDataFrame(rows)
+    src = tmp_path / "sess_src"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        stream_sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, n_events, value_cents FROM sess_test"
+    ).toPandas()
+    batch = sessionize(ev, gap_minutes=30).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["user_id", "n_events", "value_cents"]].itertuples(index=False))
+    )
+    assert key(got) == key(batch)
+    assert len(got) == 4
