@@ -381,7 +381,13 @@ def _q_khop_2(spark, sf_dir):
     subgraph (suppliers of nation 0 as sources)."""
     from finance_sc_relations_spark.operators.graph import k_hop_paths
 
-    edges = _supply_edges(spark, sf_dir).select("subj_id", "obj_id")
+    # three consumers below (semi-join + both co-purchase legs) — cut the
+    # lineage so the supply join computes once, not once per subtree
+    edges = (
+        _supply_edges(spark, sf_dir)
+        .select("subj_id", "obj_id")
+        .localCheckpoint(eager=True)
+    )
     sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 0)
     sub = edges.join(
         F.broadcast(sup.select(F.col("s_suppkey").alias("subj_id"))),
@@ -1316,6 +1322,53 @@ FROM sent_stats s LEFT JOIN top t ON s.doc_id = t.doc_id
 """
 
 
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every click gains the latest
+    prior-or-equal error value of the same user — the union-sentinel window
+    form (ONE shuffle). Oracle: DuckDB's NATIVE ASOF LEFT JOIN, a genuinely
+    independent implementation of the same semantics. Right side deduped to
+    one row per (user, ts) so equal-timestamp winners are well-defined in
+    both engines."""
+    from finance_sc_relations_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(clicks, errors, by="user_id", ts_col="ts",
+                    value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.floor(F.col("asof_value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("asof_value_cents"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS asof_value_cents
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "supply_edges": _supply_edges,
@@ -1355,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,
+        "asof_join_events": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
         "sessionize": _q_sessionize,
         "triangle_count": _q_triangle_count,
@@ -1404,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "kg_triples_fixture": _KG_TRIPLES_SQL,
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
+        "asof_join_events": _ASOF_SQL,
         "repetition_stats": _REPETITION_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "triangle_count": _TRIANGLES_SQL,

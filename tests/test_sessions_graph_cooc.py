@@ -136,3 +136,39 @@ def test_repetition_stats(spark):
     assert out[1]["top_ngram_bp"] == 10000 and out[1]["dup_sent_bp"] == 0
     assert out[2]["dup_sent_bp"] == 0 and out[2]["top_ngram_bp"] == 0
     assert out[3]["dup_sent_bp"] == 0 and out[3]["top_ngram_bp"] < 10000
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive equal-ts match, greatest-prior wins, null when no prior
+    right row, tiebreak picks the greatest among equal-ts right rows."""
+    from finance_sc_relations_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (0, "u1", _ts(10)),   # between r@5 and r@20 -> 5's value
+            (1, "u1", _ts(20)),   # exactly at r@20 -> inclusive
+            (2, "u1", _ts(1)),    # before any right row -> null
+            (3, "u2", _ts(50)),   # other key, one prior
+        ],
+        "event_id long, user_id string, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(5), 1.0, 100),
+            ("u1", _ts(20), 2.0, 200),
+            ("u1", _ts(20), 3.0, 201),  # equal ts: greatest tiebreak wins
+            ("u2", _ts(49), 9.0, 300),
+        ],
+        "user_id string, ts timestamp_ntz, value double, rid long",
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, by="user_id", ts_col="ts",
+            value_cols=["value"], tiebreak="rid",
+        ).collect()
+    }
+    assert out[0] == 1.0
+    assert out[1] == 3.0  # inclusive + tiebreak rid=201 wins
+    assert out[2] is None
+    assert out[3] == 9.0
