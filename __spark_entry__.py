@@ -396,8 +396,19 @@ def _q_khop_2(spark, sf_dir):
     # hop 2 = supplier -> customer -> ??? ; customers have no out-edges in
     # this bipartite graph, so chain through a customer->customer projection:
     # two customers sharing >= 200 common suppliers form a co-purchase edge.
-    a = edges.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_a"))
-    b = edges.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_b"))
+    # EXACT degree prefilter (AllPairs-style threshold pruning): a pair can
+    # only reach 200 common suppliers if BOTH customers have supplier-degree
+    # >= 200, so low-degree customers never enter the quadratic pair join —
+    # the pruning that keeps this co-occurrence shape linear at corpus scale.
+    eligible = (
+        edges.groupBy("obj_id")
+        .agg(F.count("*").alias("cdeg"))
+        .filter(F.col("cdeg") >= 200)
+        .select("obj_id")
+    )
+    pruned = edges.join(eligible, "obj_id", "left_semi")
+    a = pruned.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_a"))
+    b = pruned.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_b"))
     co = (
         a.join(b, "s")
         .filter(F.col("c_a") != F.col("c_b"))
