@@ -1380,6 +1380,37 @@ FROM clicks c ASOF LEFT JOIN errors e
 """
 
 
+
+
+def _q_cube_rollup(spark, sf_dir):
+    """CUBE grouping-sets aggregation over (event_type, day): every subtotal
+    combination in ONE pass (Catalyst expands the grouping sets; partial
+    aggregation stays map-side combinable). grouping_id disambiguates
+    subtotal rows from genuine NULL dimension values."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day")
+    return (
+        ev.cube(F.col("event_type"), day)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+        .select("event_type", "day", "gid", "n", "value_cents")
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "supply_edges": _supply_edges,
@@ -1419,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,
+        "cube_rollup": _q_cube_rollup,
         "asof_join_events": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
         "sessionize": _q_sessionize,
@@ -1469,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "kg_triples_fixture": _KG_TRIPLES_SQL,
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
+        "cube_rollup": _CUBE_SQL,
         "asof_join_events": _ASOF_SQL,
         "repetition_stats": _REPETITION_SQL,
         "sessionize": _SESSIONIZE_SQL,
