@@ -1411,6 +1411,40 @@ GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 """
 
 
+
+
+def _q_rolling_revenue(spark, sf_dir):
+    """Time-RANGE window frame: each order's trailing-7-day revenue for its
+    customer (RANGE BETWEEN, not ROWS — frames are time-bounded so gaps and
+    same-day bursts aggregate correctly). One shuffle on custkey."""
+    orders = _t(spark, sf_dir, "orders")
+    day_s = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_s)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("rolling_7d_cents"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS day,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling_7d_cents
+FROM orders
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "supply_edges": _supply_edges,
@@ -1450,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,
+        "rolling_revenue": _q_rolling_revenue,
         "cube_rollup": _q_cube_rollup,
         "asof_join_events": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
@@ -1501,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "kg_triples_fixture": _KG_TRIPLES_SQL,
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
+        "rolling_revenue": _ROLLING_SQL,
         "cube_rollup": _CUBE_SQL,
         "asof_join_events": _ASOF_SQL,
         "repetition_stats": _REPETITION_SQL,

@@ -87,7 +87,7 @@ def bench_default() -> None:
         "argmax_per_group", "events_daily", "skewed_user_agg",
         "token_stats", "fingerprint", "exact_dedup", "ann_brute_topk",
         "corpus_report", "token_budget_sample", "repetition_stats",
-        "asof_join_events", "cube_rollup",
+        "asof_join_events", "cube_rollup", "rolling_revenue",
         "sessionize", "triangle_count", "token_cooccurrence",
         "corpus_curation",
     ]:
