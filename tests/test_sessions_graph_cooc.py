@@ -172,3 +172,60 @@ def test_asof_join_semantics(spark):
     assert out[1] == 3.0  # inclusive + tiebreak rid=201 wins
     assert out[2] is None
     assert out[3] == 9.0
+
+
+def test_new_operators_degenerate_inputs(spark):
+    """Empty/singleton inputs: no crashes, sane outputs."""
+    from finance_sc_relations_spark.operators.asof import asof_join
+    from finance_sc_relations_spark.operators.graph import triangle_count
+    from finance_sc_relations_spark.operators.sessions import sessionize
+
+    empty_edges = spark.createDataFrame([], "subj_id long, obj_id long")
+    assert triangle_count(empty_edges).count() == 0
+
+    one_event = spark.createDataFrame(
+        [(0, _ts(0), 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = sessionize(one_event).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 1
+    assert rows[0]["session_idx"] == 0
+
+    # duplicate left rows at the same ts both receive the same match, and
+    # the left frame's own columns survive untouched
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10), "keep-a"), (2, "u", _ts(10), "keep-b")],
+        "event_id long, user_id string, ts timestamp_ntz, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(5), 4.0)], "user_id string, ts timestamp_ntz, value double"
+    )
+    out = asof_join(left, right, by="user_id", ts_col="ts").collect()
+    assert {r["event_id"]: r["asof_value"] for r in out} == {1: 4.0, 2: 4.0}
+    assert {r["tag"] for r in out} == {"keep-a", "keep-b"}
+
+
+def test_curate_decontaminate_stage(spark):
+    """eval overlap drops a curated doc; the report carries the stage."""
+    from finance_sc_relations_spark.plans.curate import curate_corpus
+
+    body_a = (
+        "the committee said that it would review the annual report and "
+        "publish the findings for all of the members in the coming weeks "
+    ) * 3
+    body_b = (
+        "markets were steady on tuesday as traders weighed a new report "
+        "from the central bank about rates and the outlook for inflation "
+    ) * 3
+    docs = spark.createDataFrame(
+        [(0, body_a, "s"), (1, body_b, "s")],
+        "doc_id long, text string, source string",
+    )
+    evals = spark.createDataFrame([(body_a[:400],)], "text string")
+    out = curate_corpus(docs, eval_texts=evals, min_quality=0.1,
+                        with_report=True)
+    kept = [r["doc_id"] for r in out["curated"].collect()]
+    assert kept == [1]
+    report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
+    assert report["near_dup"] == 2 and report["decontaminate"] == 1
