@@ -17,6 +17,8 @@ SHOW = [
     "supply_edges", "pricing_summary", "filtered_scan_isin",
     "anti_join_incremental", "topk_window", "skewed_user_agg",
     "clean_text", "word_jaccard_pairs", "embedding_near_dups", "khop_2",
+    "sessionize", "asof_join_events", "cube_rollup", "rolling_revenue",
+    "triangle_count", "token_cooccurrence",
 ]
 
 
