@@ -1191,8 +1191,8 @@ def _q_triangle_count(spark, sf_dir):
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .select(
-            F.col("s_nationkey").alias("subj_id"),
-            F.col("c_nationkey").alias("obj_id"),
+            F.col("s_nationkey").cast("long").alias("subj_id"),
+            F.col("c_nationkey").cast("long").alias("obj_id"),
         )
         .distinct()
     )
@@ -1304,7 +1304,7 @@ _REPETITION_SQL = r"""
 WITH base AS (
   SELECT doc_id,
          list_filter(list_transform(
-           string_split(regexp_replace(text, '([.!?])[\s]+', '' || chr(1), 'g'), chr(1)),
+           string_split(regexp_replace(text, '([.!?])[\s]+', '\1' || chr(1), 'g'), chr(1)),
            s -> trim(s)), s -> length(s) > 0) AS sents,
          list_filter(list_transform(
            range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),

@@ -246,9 +246,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # no cast: sibling operators (vertex_degrees, pagerank, k_hop) take
+    # string entity ids — casting here would nullify them silently
     return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .select(F.col("node").cast("long").alias("entity_id"))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("entity_id"))
         .groupBy("entity_id")
         .agg(F.count("*").alias("n_triangles"))
     )

@@ -49,6 +49,13 @@ from ..functions.similarity import HashEmbedder
 
 _PUNCT_RE = f"[{re.escape(string.punctuation)}]"
 
+# Per-executor cache of the built dictionary index (exact map, prefix
+# buckets, embeddings, sort keys), keyed by a per-call token: the
+# mapInPandas closure re-runs PER TASK, and rebuilding the index —
+# O(D log D) sort + encoding every form — per task scales with
+# dictionary size, not batch size.
+_DICT_INDEX_CACHE: dict = {}
+
 LINKED_SCHEMA = StructType(
     [
         StructField("surface", StringType(), False),
@@ -175,31 +182,45 @@ def link_surfaces(
         rows.append((rec.entity_id, rec.canonical_name, rec.prefix2, rec.canonical_name))
         for alias in list(rec.aliases or []):
             rows.append((rec.entity_id, rec.canonical_name, _prefix2(alias), alias))
+    # (form, entity_id) order ON THE DRIVER, once — exact ties (two entities
+    # sharing a form/alias) resolve to the min entity_id, identical to the
+    # distributed tier's sort_values, and executors never re-sort
+    rows.sort(key=lambda r: (r[3], r[0]))
     bc = spark.sparkContext.broadcast(rows)
+    import uuid
+
+    cache_token = uuid.uuid4().hex
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         embedder = HashEmbedder()
-        # (form, entity_id) order so exact ties (two entities sharing a
-        # form/alias) resolve to the min entity_id — identical to the
-        # distributed tier's sort_values; a corpus crossing the auto-dispatch
-        # threshold must not flip ambiguous-alias assignments.
-        dict_rows = sorted(bc.value, key=lambda r: (r[3], r[0]))
-        exact = {}
-        by_prefix: dict = {}
-        for entity_id, canonical, prefix, form in dict_rows:
-            exact.setdefault(form, (entity_id, canonical))
-            by_prefix.setdefault(prefix, []).append((entity_id, canonical, form))
-        prefix_emb = {
-            p: embedder.encode([f for _, _, f in items])
-            for p, items in by_prefix.items()
-        }
-        # sort-normalized forms per block for the L5 second-level
-        # (begins_with) condition — numpy str arrays so the per-surface
-        # eligibility test is one vectorized startswith per query prefix
-        prefix_sorts = {
-            p: np.array([sort_normalize(f) for _, _, f in items], dtype=np.str_)
-            for p, items in by_prefix.items()
-        }
+        cached = _DICT_INDEX_CACHE.get(cache_token)
+        if cached is None:
+            exact = {}
+            by_prefix: dict = {}
+            for entity_id, canonical, prefix, form in bc.value:
+                exact.setdefault(form, (entity_id, canonical))
+                by_prefix.setdefault(prefix, []).append(
+                    (entity_id, canonical, form)
+                )
+            prefix_emb = {
+                p: embedder.encode([f for _, _, f in items])
+                for p, items in by_prefix.items()
+            }
+            # sort-normalized forms per block for the L5 second-level
+            # (begins_with) condition — numpy str arrays so the per-surface
+            # eligibility test is one vectorized startswith per query prefix
+            prefix_sorts = {
+                p: np.array(
+                    [sort_normalize(f) for _, _, f in items], dtype=np.str_
+                )
+                for p, items in by_prefix.items()
+            }
+            _DICT_INDEX_CACHE.clear()  # one live index per executor
+            _DICT_INDEX_CACHE[cache_token] = (
+                exact, by_prefix, prefix_emb, prefix_sorts
+            )
+        else:
+            exact, by_prefix, prefix_emb, prefix_sorts = cached
 
         for batch in batches:
             out = []

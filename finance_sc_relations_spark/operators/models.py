@@ -198,6 +198,11 @@ def model_from_path(path: str) -> BatchModel:
     if model is None:
         with open(path, "rb") as f:
             model = pickle.load(f)
+        # evict stale versions of the SAME path: a long-lived executor that
+        # sees periodically-replaced checkpoints must not accumulate every
+        # old model (they can be GBs each for the transformer drop-in)
+        for k in [k for k in _PATH_LOADED if k[0] == path]:
+            del _PATH_LOADED[k]
         _PATH_LOADED[key] = model
     return model
 

@@ -152,7 +152,8 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     payload, meta.get("media_type"), meta.get("format")
                 )
                 vec = np.array(
-                    [b.mean() for b in np.array_split(values, feature_dim)],
+                    [b.mean() if b.size else 0.0
+                     for b in np.array_split(values, feature_dim)],
                     dtype=np.float32,
                 )
                 ids.append(rec.media_id)

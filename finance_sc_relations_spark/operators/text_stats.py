@@ -319,10 +319,15 @@ def repetition_stats(
 
 
 def _ngram_all_col(text_col, n: int):
-    """ALL word n-grams (with repeats — unlike dedup's distinct grams)."""
+    """ALL word n-grams (with repeats — unlike dedup's distinct grams).
+    Docs with fewer than n words yield ZERO grams (a 1-word doc must not
+    read as 100% 'repetitious' via a single partial gram)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    ngrams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array())
     return F.filter(ngrams, lambda g: F.length(g) > 0)

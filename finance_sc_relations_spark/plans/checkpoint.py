@@ -284,6 +284,8 @@ def run_pipeline_checkpointed(
         input_rows=_rows("classified"),
     )
 
+    _linked_cache: dict = {}
+
     def _linked():
         surfaces = (
             triples.select(F.col("subj_surface").alias("surface"))
@@ -306,9 +308,11 @@ def run_pipeline_checkpointed(
         s2e = canonicalize_unmatched(
             linked_surfaces, alias_edges.select("target", "alias")
         ).persist()
+        _linked_cache["s2e"] = s2e
         # same broadcast-vs-equi-join auto-dispatch as plans.pipeline; the
         # count materializes the persisted map so both endpoint joins read
-        # cache (released when the stage write below completes the scope)
+        # cache (explicitly unpersisted after the stage write — persisted
+        # plans are NOT ContextCleaner-managed)
         out = link_triples(
             triples,
             s2e.select("surface", "entity_id"),
@@ -319,6 +323,8 @@ def run_pipeline_checkpointed(
     linked = ckpt.run_stage(
         "linked_triples", _linked, fp, input_rows=_rows("triples")
     )
+    if "s2e" in _linked_cache:  # stage ran (not resumed): release the cache
+        _linked_cache.pop("s2e").unpersist()
     edges = ckpt.run_stage(
         "edges", lambda: build_edges(linked), fp,
         input_rows=_rows("linked_triples"),

@@ -174,12 +174,12 @@ def run_pipeline(
         linked_surfaces,
         alias_edges.select("target", "alias"),
     )
-    if cfg.persist_intermediate:
-        # surface_to_entity feeds link_triples AND build_vertices; linked
-        # feeds edges, edges_global, vertices and the caller's first action —
-        # without persisting, every downstream action recomputes the whole
-        # linking subtree (measured ~17s per action at 100k pages).
-        surface_to_entity = surface_to_entity.persist(StorageLevel.MEMORY_AND_DISK)
+    # surface_to_entity feeds link_triples AND build_vertices, and the
+    # broadcast-dispatch count below materializes it — persisted even when
+    # persist_intermediate=False, or the count re-executes the whole linking
+    # subtree and the two endpoint joins re-execute it twice more (measured
+    # ~17s per action at 100k pages). Bounded: one row per distinct surface.
+    surface_to_entity = surface_to_entity.persist(StorageLevel.MEMORY_AND_DISK)
     # auto-dispatch: broadcast the surface map only below the same row
     # threshold as the dictionary — at web scale the per-distinct-surface map
     # is ~10^7+ rows and must go through a plain (AQE) equi-join instead.

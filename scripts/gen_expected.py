@@ -283,7 +283,8 @@ def gen_multimodal(n=30, feature_dim=8) -> pd.DataFrame:
             digest = hashlib.blake2b(payload, digest_size=32).digest()
             values = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
         vec = np.array(
-            [b.mean() for b in np.array_split(values, feature_dim)],
+            [b.mean() if b.size else 0.0
+             for b in np.array_split(values, feature_dim)],
             dtype=np.float32,
         )
         bp = np.floor(vec.astype(np.float64) * 10000 + 0.5).astype(np.int64)
