@@ -1306,10 +1306,12 @@ WITH base AS (
          list_filter(list_transform(
            string_split(regexp_replace(text, '([.!?])[\s]+', '\1' || chr(1), 'g'), chr(1)),
            s -> trim(s)), s -> length(s) > 0) AS sents,
-         list_filter(list_transform(
-           range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 0) + 1),
-           i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i+1:i+2], ' ')),
-           g -> length(g) > 0) AS grams
+         CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+              THEN list_filter(list_transform(
+                range(0, len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1),
+                i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\s+')[i+1:i+2], ' ')),
+                g -> length(g) > 0)
+              ELSE CAST([] AS VARCHAR[]) END AS grams
   FROM documents
 ), sent_stats AS (
   SELECT doc_id,

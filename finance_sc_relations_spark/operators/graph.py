@@ -222,30 +222,67 @@ def k_hop_paths(edges: DataFrame, k: int = 2, max_paths_per_hop: int | None = No
     return paths
 
 
+def _orient_edges(edges: DataFrame) -> DataFrame:
+    """Degree-oriented undirected projection of the edge table: each
+    distinct undirected edge {u, v} becomes ONE directed row (src, dst,
+    dkey) pointing from the lower-(degree, id) endpoint toward the
+    higher-(degree, id) endpoint; dkey = struct(degree, id) of dst so the
+    wedge enumeration can totally order neighbors without re-joining
+    degrees. Out-degree under this orientation is bounded by graph
+    arboricity (O(sqrt(E)) worst case), not by max degree — a hub of
+    degree d receives its d edges instead of emitting them, so a star
+    contributes ZERO wedges rather than O(d^2)."""
+    und = edges.select(
+        F.least("subj_id", "obj_id").alias("u"),
+        F.greatest("subj_id", "obj_id").alias("v"),
+    ).filter(F.col("u") != F.col("v")).distinct()
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        und.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("id"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("id"))
+    return ed.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(ku < kv, kv).otherwise(ku).alias("dkey"),
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation over the undirected projection of
     the edge table: (entity_id, n_triangles).
 
-    Edges are canonicalized to (u < v) so each triangle (a < b < c) is
-    enumerated exactly once by two equi-joins: e(a,b) ⋈ e(b,c) ⋈ e(a,c).
-    The canonical edge set is materialized once (it feeds all three join
-    legs). At web scale the standard upgrade is degree orientation (direct
-    each edge toward the higher-degree endpoint) so wedge enumeration is
-    bounded by arboricity instead of max degree — same output, swap the
-    ordering key; AQE skew-join covers the moderate-skew regime here."""
-    und = (
-        edges.select(
-            F.least("subj_id", "obj_id").alias("u"),
-            F.greatest("subj_id", "obj_id").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    Degree-oriented enumeration (the standard web-scale form): each
+    undirected edge is directed toward its higher-(degree, id) endpoint,
+    wedges are enumerated only from each vertex's out-neighbors (ordered
+    by that same total order so each candidate pair appears once), and a
+    triangle closes when the oriented edge between the two out-neighbors
+    exists. Join work is bounded by sum-over-vertices of
+    C(out-degree, 2) <= O(E * arboricity) — a mega-hub of degree d
+    contributes 0 wedges instead of O(d^2), so supply graphs whose
+    mega-company hubs touch ~30% of pages stay near-linear. The oriented
+    edge set is materialized once (it feeds both wedge legs and the
+    closing join)."""
+    oriented = _orient_edges(edges).localCheckpoint(eager=True)
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("dkey").alias("kb")
     )
-    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("dkey").alias("kc")
+    )
+    # kb < kc: each out-neighbor pair of `a` enumerated exactly once, and
+    # (b ≺ c) in the orientation order means the closing edge, if present,
+    # is oriented b → c.
+    wedges = e1.join(e2, "a").filter(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
     # no cast: sibling operators (vertex_degrees, pagerank, k_hop) take
     # string entity ids — casting here would nullify them silently
     return (

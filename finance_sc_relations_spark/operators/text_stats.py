@@ -9,11 +9,13 @@ pipeline needs.
 
 from __future__ import annotations
 
+import logging
+
 from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -170,7 +172,6 @@ def sample_token_budget(
     computable identically by any engine (unlike xxhash64, which is
     Spark-specific), so the exact sample is reproducible and cross-checkable.
     One window per stratum; no joins, no Python."""
-    from pyspark.sql import Window
 
     enriched = docs.withColumn(
         "n_tokens", token_count_col(text_col).cast("long")
@@ -189,11 +190,15 @@ def sample_token_budget(
     )
 
 
+_LOG = logging.getLogger(__name__)
+
+
 def token_cooccurrence(
     docs: DataFrame,
     min_df: int = 25,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_tokens_per_doc: int | None = None,
 ) -> DataFrame:
     """Document-level token co-occurrence statistics + PMI — the corpus
     association-mining op of a training-data pipeline (collocation /
@@ -208,7 +213,17 @@ def token_cooccurrence(
     quadratic pair fan-out to frequent tokens only (the long unique-token
     tail never pairs); all joins are equi-joins on token/doc so AQE handles
     hot tokens. Counts are exact ints — engine-portable; PMI is a derived
-    double for consumers (compare the counts, not the log)."""
+    double for consumers (compare the counts, not the log).
+
+    `max_tokens_per_doc` bounds the remaining per-document quadratic term:
+    the per-doc pair join is O(k^2) in each doc's distinct frequent-token
+    count k, so one pathological 100k-token doc whose tokens all clear
+    min_df would otherwise contribute ~10^10 pairs. When set, each doc
+    keeps its `max_tokens_per_doc` RAREST frequent tokens (lowest df,
+    token-lexicographic tiebreak — deterministic, and rare tokens carry
+    the PMI signal); the number of dropped (doc, token) rows is counted
+    and logged (no silent caps). None (the default) disables the cap —
+    callers feeding uncurated web corpora should set it (~1-5k)."""
     tokens = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -219,7 +234,29 @@ def token_cooccurrence(
     ).filter(F.length("token") > 0)
     dfreq = tokens.groupBy("token").agg(F.count("*").alias("df"))
     vocab = dfreq.filter(F.col("df") >= min_df)
-    kept = tokens.join(vocab, "token", "left_semi")
+    if max_tokens_per_doc is not None:
+        wd = Window.partitionBy("doc").orderBy(
+            F.col("df").asc(), F.col("token").asc()
+        )
+        ranked = (
+            tokens.join(vocab, "token")
+            .withColumn("_rn", F.row_number().over(wd))
+        )
+        kept = (
+            ranked.filter(F.col("_rn") <= max_tokens_per_doc)
+            .select("doc", "token")
+            .localCheckpoint(eager=True)  # feeds both pair-join legs
+        )
+        dropped = ranked.filter(F.col("_rn") > max_tokens_per_doc).count()
+        if dropped:
+            _LOG.warning(
+                "token_cooccurrence: max_tokens_per_doc=%d dropped %d "
+                "(doc, token) rows (kept the lowest-df tokens per doc)",
+                max_tokens_per_doc,
+                dropped,
+            )
+    else:
+        kept = tokens.join(vocab, "token", "left_semi")
     a = kept.select("doc", F.col("token").alias("token_a"))
     b = kept.select("doc", F.col("token").alias("token_b"))
     pairs = (

@@ -87,15 +87,24 @@ def curate_corpus(
 
     report = None
     if with_report:
-        persisted = [
-            (name, df.persist(StorageLevel.MEMORY_AND_DISK))
-            for name, df in stages
-        ]
+        # The raw input is NEVER persisted — pinning the full uncurated
+        # corpus to executor storage just to count it is a cluster-storage
+        # hazard at scale; its count is a plain scan. Post-gate stages are
+        # shrinking and each has a second consumer (its count + the next
+        # stage), so those are persisted — unless the main chain above
+        # already did (no double-persist, no duplicate `cached` entries).
+        already = {id(df) for df in cached}
+        persisted: list[tuple[str, DataFrame]] = []
+        for name, df in stages:
+            if name != "input" and id(df) not in already:
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                cached.append(df)
+                already.add(id(df))
+            persisted.append((name, df))
         spark = docs.sparkSession
         report = spark.createDataFrame(
             [(name, df.count()) for name, df in persisted],
             "stage string, n_docs long",
         )
         cur = persisted[-1][1]
-        cached.extend(df for _, df in persisted)
     return {"curated": cur, "report": report, "cached": cached}

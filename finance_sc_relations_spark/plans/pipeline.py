@@ -174,12 +174,17 @@ def run_pipeline(
         linked_surfaces,
         alias_edges.select("target", "alias"),
     )
-    # surface_to_entity feeds link_triples AND build_vertices, and the
-    # broadcast-dispatch count below materializes it — persisted even when
-    # persist_intermediate=False, or the count re-executes the whole linking
-    # subtree and the two endpoint joins re-execute it twice more (measured
-    # ~17s per action at 100k pages). Bounded: one row per distinct surface.
-    surface_to_entity = surface_to_entity.persist(StorageLevel.MEMORY_AND_DISK)
+    # surface_to_entity feeds the broadcast-dispatch count AND both endpoint
+    # joins in link_triples — without materialization each action re-executes
+    # the whole linking subtree (measured ~17s per action at 100k pages).
+    # localCheckpoint rather than persist: blocks are ContextCleaner-managed
+    # (freed when the frame is GC'd), so repeated run_pipeline calls in a
+    # long-lived session don't accumulate storage blocks the caller must
+    # remember to unpersist. Bounded: one row per distinct surface. Safe from
+    # the checkpoint-exprId-reuse hazard — every downstream consumer uses
+    # THIS frame (link_triples self-joins it twice by renamed columns); no
+    # pre-checkpoint lineage sibling is ever joined against it.
+    surface_to_entity = surface_to_entity.localCheckpoint(eager=True)
     # auto-dispatch: broadcast the surface map only below the same row
     # threshold as the dictionary — at web scale the per-distinct-surface map
     # is ~10^7+ rows and must go through a plain (AQE) equi-join instead.

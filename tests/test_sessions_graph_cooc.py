@@ -229,3 +229,106 @@ def test_curate_decontaminate_stage(spark):
     assert kept == [1]
     report = {r["stage"]: r["n_docs"] for r in out["report"].collect()}
     assert report["near_dup"] == 2 and report["decontaminate"] == 1
+
+
+def test_asof_join_null_fields_come_from_matched_row(spark):
+    """A matched right row's NULL value column must surface as NULL (not
+    fall back to an older row), and multiple value_cols must all come from
+    the SAME matched right row — the struct-pack guarantee."""
+    from finance_sc_relations_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(0, "u", _ts(30)), (1, "u", _ts(7))],
+        "event_id long, user_id string, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts(5), 1.0, "old"),
+            # most recent row before ts=30 carries a NULL price but a
+            # fresh label — both must be taken from THIS row
+            ("u", _ts(20), None, "new"),
+        ],
+        "user_id string, ts timestamp_ntz, price double, label string",
+    )
+    out = {
+        r["event_id"]: (r["asof_price"], r["asof_label"])
+        for r in asof_join(
+            left, right, by="user_id", ts_col="ts",
+            value_cols=["price", "label"],
+        ).collect()
+    }
+    assert out[0] == (None, "new")  # NOT (1.0, "new"): no column blending
+    assert out[1] == (1.0, "old")
+
+
+def test_triangle_count_degree_oriented_star(spark):
+    """Degree orientation: a hub of degree 1000 contributes ZERO wedges
+    (every edge points AT the hub), so the wedge join stays near-linear
+    instead of O(d^2); triangles hanging off the hub are still found."""
+    from finance_sc_relations_spark.operators.graph import (
+        _orient_edges,
+        triangle_count,
+    )
+
+    star = [(f"leaf{i}", "hub") for i in range(1000)]
+    # one triangle among two leaves and the hub, one hub-free triangle
+    extra = [("leaf0", "leaf1"), ("x", "y"), ("y", "z"), ("z", "x")]
+    edges = spark.createDataFrame(star + extra, "subj_id string, obj_id string")
+
+    oriented = _orient_edges(edges)
+    outdeg = {r["src"]: r["n"] for r in
+              oriented.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # hub (degree 1000) emits nothing; wedge rows = sum C(outdeg, 2)
+    assert "hub" not in outdeg
+    wedge_rows = sum(d * (d - 1) // 2 for d in outdeg.values())
+    assert wedge_rows <= 5  # near-linear: ~1 wedge per triangle, not 500k
+
+    out = {r["entity_id"]: r["n_triangles"]
+           for r in triangle_count(edges).collect()}
+    assert out == {"hub": 1, "leaf0": 1, "leaf1": 1, "x": 1, "y": 1, "z": 1}
+
+
+def test_token_cooccurrence_per_doc_cap(spark, caplog):
+    """max_tokens_per_doc keeps each doc's rarest frequent tokens, logs the
+    drop count, and leaves under-cap corpora byte-identical."""
+    import logging
+
+    from finance_sc_relations_spark.operators.text_stats import (
+        token_cooccurrence,
+    )
+
+    # 'common' appears in 3 docs (df=3), rare pair tokens in 2 each
+    docs = spark.createDataFrame(
+        [
+            (0, "common ra rb"),
+            (1, "common ra rb"),
+            (2, "common other"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        (r["token_a"], r["token_b"]): r["c_ab"]
+        for r in token_cooccurrence(docs, min_df=2).collect()
+    }
+    # cap larger than any doc: identical output, nothing logged
+    with caplog.at_level(logging.WARNING):
+        capped_loose = {
+            (r["token_a"], r["token_b"]): r["c_ab"]
+            for r in token_cooccurrence(
+                docs, min_df=2, max_tokens_per_doc=10
+            ).collect()
+        }
+    assert capped_loose == base
+    assert not any("dropped" in m for m in caplog.messages)
+
+    # cap of 2: docs 0/1 keep their two RAREST tokens (ra, rb; df=2 beats
+    # common's df=3) and drop 'common'; the drop is logged
+    with caplog.at_level(logging.WARNING):
+        capped = {
+            (r["token_a"], r["token_b"]): r["c_ab"]
+            for r in token_cooccurrence(
+                docs, min_df=2, max_tokens_per_doc=2
+            ).collect()
+        }
+    assert capped == {("ra", "rb"): 2}
+    assert any("dropped 2" in m for m in caplog.messages)
