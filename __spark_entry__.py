@@ -400,6 +400,10 @@ def _q_khop_2(spark, sf_dir):
     # only reach 200 common suppliers if BOTH customers have supplier-degree
     # >= 200, so low-degree customers never enter the quadratic pair join —
     # the pruning that keeps this co-occurrence shape linear at corpus scale.
+    # The join itself keys on the SUPPLIER, so a hot supplier still fans out
+    # d^2 pair rows inside one partition; the backstop is AQE skew-join,
+    # which splits such partitions at runtime (evidenced by
+    # test_copurchase_hot_supplier_aqe_skew_split on a planted 80x hub).
     eligible = (
         edges.groupBy("obj_id")
         .agg(F.count("*").alias("cdeg"))

@@ -59,19 +59,43 @@ def run_kg_pipeline(spark, n_pages: int, model_partitions: int | None = None) ->
 
 
 def bench_default() -> None:
+    # Measurement isolation (round-4): this VM shows heavy host CPU-steal
+    # (identical runs swing 30-80%), so single-shot timings made
+    # round-over-round tracking noise. Defense: (a) the whole suite re-execs
+    # itself under taskset pinned to exactly $SPARK_GRAFT_CPUS CPUs so the
+    # JVM's shuffle/GC/Arrow threads can't sprawl past the advertised slot
+    # count, and (b) every query is run SPARK_GRAFT_BENCH_REPEATS times
+    # (default 3; the long kg/curation jobs 2) in the warm JVM and the BEST
+    # wall time is reported — min-of-k is the standard steal-resistant
+    # estimator (steal only ever adds time). Reported times are therefore
+    # "warm JVM, pinned cores, best-of-k"; the methodology field says so.
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_PINNED") != "1"
+        and os.path.exists("/usr/bin/taskset")
+        and CPUS <= (os.cpu_count() or CPUS)
+    ):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_PINNED="1")
+        cmd = ["taskset", "-c", f"0-{CPUS - 1}", sys.executable] + sys.argv
+        os.execvpe(cmd[0], cmd, env)
+
     from finance_sc_relations_spark.session import build_session
     from finance_sc_relations_spark.operators import dedup as D
     from finance_sc_relations_spark.operators import simsearch as S
     import __spark_entry__ as E
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spark = build_session(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     queries = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, k=repeats):
+        best = None
+        for _ in range(max(1, k)):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        queries[name] = round(best, 3)
 
     qs = E.queries()
     # Warm-up (untimed), mirroring the KG warm-up below: the first query
@@ -89,9 +113,15 @@ def bench_default() -> None:
         "corpus_report", "token_budget_sample", "repetition_stats",
         "asof_join_events", "cube_rollup", "rolling_revenue",
         "sessionize", "triangle_count", "token_cooccurrence",
-        "corpus_curation",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+    # curation persists its branch points per call: best-of-2 keeps the
+    # executor-storage churn bounded while still shaving one noisy sample
+    timed(
+        "corpus_curation",
+        lambda: qs["corpus_curation"](spark, SF_DIR).count(),
+        k=min(repeats, 2),
+    )
 
     # Dedup tiers at bench scale (3-gram shingles keep posting lists short)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -108,12 +138,17 @@ def bench_default() -> None:
 
     # KG pipeline throughput (fixture materialization and a warm-up pass
     # excluded so we measure the job, not corpus generation or JIT/codegen/
-    # python-worker startup)
+    # python-worker startup); best-of-2 — each run is ~15 s, one repeat
+    # suffices to reject a stolen sample
     _fixture_pages_dir(BENCH_PAGES)
     run_kg_pipeline(spark, 1000)
-    t0 = time.perf_counter()
-    kg = run_kg_pipeline(spark, BENCH_PAGES)
-    kg_sec = time.perf_counter() - t0
+    kg_sec = None
+    kg = None
+    for _ in range(min(repeats, 2)):
+        t0 = time.perf_counter()
+        kg = run_kg_pipeline(spark, BENCH_PAGES)
+        dt = time.perf_counter() - t0
+        kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
     queries["kg_pipeline"] = round(kg_sec, 3)
 
     # Graph family wall times at sf0.01 (separate small-scale section, NOT
@@ -126,9 +161,13 @@ def bench_default() -> None:
     )
     graph_queries = {}
     for name in ["khop_2", "pagerank", "dedup_clusters"]:
-        t0 = time.perf_counter()
-        qs[name](spark, graph_sf_dir).count()
-        graph_queries[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            qs[name](spark, graph_sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        graph_queries[name] = round(best, 3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -143,6 +182,11 @@ def bench_default() -> None:
                 "kg_triples_per_sec": round(kg["n_triples"] / kg_sec, 2),
                 "kg_pages_per_sec": round(kg["n_pages"] / kg_sec, 2),
                 "cpus": CPUS,
+                "methodology": (
+                    f"taskset-pinned to {CPUS} CPUs, warm JVM, best-of-"
+                    f"{repeats} per query (long jobs best-of-2); min-of-k "
+                    "rejects host CPU-steal samples"
+                ),
             }
         )
     )

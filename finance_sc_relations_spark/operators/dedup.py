@@ -480,61 +480,19 @@ def near_dup_clusters(
     cluster_id = min doc_id in the component; is_canonical marks the one
     row per cluster a curation pipeline keeps. Singletons are their own
     canonical cluster."""
-    import warnings
+    from .cc import cc_min_label
 
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, id_col=id_col, **minhash_params)
-    edges = (
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    labels = cc_min_label(
+        pairs.select("id_a", "id_b"),
+        docs.select(F.col(id_col).alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        ),
+        key="id",
+        max_iterations=max_iterations,
+        warn_name="near_dup_clusters",
     )
-    labels = docs.select(F.col(id_col).alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    )
-    changed = 1
-    for _ in range(max_iterations):
-        frontier = labels
-        neighbor_min = (
-            edges.join(frontier, edges.a == frontier.id, "inner")
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # pointer jump: my label is a node id — adopt THAT node's label too
-        jump = labels.select(
-            F.col("id").alias("_jid"), F.col("label").alias("jlabel")
-        )
-        # convergence flag rides in the checkpointed frame (no recompute)
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .join(jump, F.col("label") == F.col("_jid"), "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nlabel", "label"),
-                    F.coalesce("jlabel", "label"),
-                ).alias("label"),
-                (
-                    F.least(
-                        F.coalesce("nlabel", "label"), F.coalesce("jlabel", "label")
-                    )
-                    < F.col("label")
-                ).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    if changed != 0:
-        warnings.warn(
-            f"near_dup_clusters did not converge in {max_iterations} "
-            "iterations; components may be split — raise max_iterations",
-            RuntimeWarning,
-        )
     return labels.select(
         F.col("id").alias(id_col),
         F.col("label").alias("cluster_id"),

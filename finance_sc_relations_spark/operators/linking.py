@@ -410,8 +410,6 @@ def canonicalize_unmatched(
     components with no dictionary anchor get
     'SF:<min-normalized-form-in-component>'.
     """
-    import warnings
-
     matched = linked.filter(F.col("entity_id").isNotNull()).select(
         "surface", "entity_id"
     )
@@ -431,10 +429,17 @@ def canonicalize_unmatched(
             F.col("surface").alias("rep"),
         ).alias("label"),
     )
-    changed = 0
     if alias_edges is not None and unmatched.isEmpty():
         alias_edges = None  # nothing to propagate — skip the iteration loop
     if alias_edges is not None:
+        from .cc import cc_min_label
+
+        # seeds = dictionary-matched surfaces with FIXED labels: they
+        # propagate into the graph every round but are never relabeled (a
+        # matched endpoint re-entering as a labeled surface would be
+        # emitted twice — its LEI row plus a propagated SF: row — and fan
+        # out every downstream triple join; cc_min_label returns only the
+        # relabeled `labels` frame, so that cannot happen).
         seeds = matched.select(
             "surface",
             F.struct(
@@ -443,63 +448,14 @@ def canonicalize_unmatched(
                 F.col("surface").alias("rep"),
             ).alias("label"),
         )
-        edges = (
-            alias_edges.select(
-                F.col("target").alias("a"), F.col("alias").alias("b")
-            )
-            .union(alias_edges.select(F.col("alias").alias("a"), F.col("target").alias("b")))
-            .distinct()
-        )
-        changed = 1
-        for _ in range(max_iterations):
-            frontier = seeds.unionByName(labels)
-            neighbor_min = (
-                edges.join(frontier, edges.a == frontier.surface, "inner")
-                .select(F.col("b").alias("surface"), "label")
-                .groupBy("surface")
-                .agg(F.min("label").alias("nlabel"))
-            )
-            # pointer jump: fetch the current label of my label's rep surface
-            jump = frontier.select(
-                F.col("surface").alias("_jsurf"), F.col("label").alias("jlabel")
-            )
-            # LEFT join keyed by the current unmatched label set: propagation
-            # may only RELABEL unmatched surfaces. A matched endpoint must
-            # never re-enter as a new labeled surface or it is emitted twice
-            # (its LEI row + a propagated SF: row) and fans out every
-            # downstream triple join.
-            # carry the convergence flag INSIDE the checkpointed frame: the
-            # count below then reads materialized rows instead of recomputing
-            # the whole join a second time (halves per-iteration work)
-            new_labels = (
-                labels.join(neighbor_min, "surface", "left")
-                .join(jump, F.col("label.rep") == F.col("_jsurf"), "left")
-                .select(
-                    "surface",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("nlabel"), F.col("label")),
-                        F.coalesce(F.col("jlabel"), F.col("label")),
-                    ).alias("label"),
-                    (
-                        F.least(
-                            F.coalesce(F.col("nlabel"), F.col("label")),
-                            F.coalesce(F.col("jlabel"), F.col("label")),
-                        )
-                        < F.col("label")
-                    ).alias("_changed"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = new_labels.filter(F.col("_changed")).limit(1).count()
-            labels = new_labels.drop("_changed")
-            if changed == 0:
-                break
-    if changed != 0:
-        warnings.warn(
-            f"canonicalize_unmatched did not converge in {max_iterations} "
-            "iterations; alias components may be split — raise max_iterations",
-            RuntimeWarning,
+        labels = cc_min_label(
+            alias_edges.select("target", "alias"),
+            labels,
+            key="surface",
+            seeds=seeds,
+            label_node=lambda c: c.getField("rep"),
+            max_iterations=max_iterations,
+            warn_name="canonicalize_unmatched",
         )
     resolved = labels.select(
         "surface",

@@ -16,7 +16,15 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     one shuffle total instead of parallelize-shuffle + operator-shuffle
     (the exact_dedup r2 bench regression)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # JVM-side probe: partition count of the physical plan's InternalRow
+        # RDD. df.rdd would wrap the plan in a Python-serialization stage
+        # (DeserializeToObject + pickler setup) just to ask a partition
+        # count — pure overhead on every wrapped read.
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # private-API drift: fall back to the public path
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         if keys:
             from pyspark.sql import functions as F
 

@@ -332,3 +332,46 @@ def test_token_cooccurrence_per_doc_cap(spark, caplog):
         }
     assert capped == {("ra", "rb"): 2}
     assert any("dropped 2" in m for m in caplog.messages)
+
+
+def test_copurchase_hot_supplier_aqe_skew_split(spark):
+    """Skew evidence for the khop_2 co-purchase self-join: the join is on
+    the supplier key, so a hot supplier's partition fans out quadratically.
+    The engine's backstop is AQE skew-join — this test plants one supplier
+    with 80x the median degree, lowers the skew thresholds to fixture
+    scale, executes the SAME join shape khop_2 uses, and asserts the final
+    adaptive plan split the skewed partitions (SortMergeJoin(skew=true))."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        rows = [(0, c) for c in range(4000)] + [
+            (s, c) for s in range(1, 51) for c in range(5)
+        ]
+        edges = spark.createDataFrame(rows, "subj_id long, obj_id long")
+        a = edges.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_a"))
+        b = edges.select(F.col("subj_id").alias("s"), F.col("obj_id").alias("c_b"))
+        co = a.join(b, "s").filter(F.col("c_a") != F.col("c_b"))
+        qe = co._jdf.queryExecution()
+        n = qe.executedPlan().execute().count()  # run THIS plan object
+        plan = qe.executedPlan().toString()
+        assert n == 4000 * 3999 + 50 * 5 * 4
+        assert "skew=true" in plan, plan.splitlines()[:20]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
