@@ -1079,12 +1079,14 @@ FROM read_parquet('{_EXPECTED_DIR}/doc_relations.parquet')
 
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction with REAL stdlib decode kernels for
-    bmp/wav (byte-offset BMP pixel parse, wave-module PCM) and a digest stub
-    for codec-needing mp4. The oracle decodes the same payloads with
-    DIFFERENT code (manual int.from_bytes header/RIFF parsing in
-    scripts/gen_expected.py), so the feature values — not just hashes — are
-    cross-checked. Features quantized to basis points for hash-stable
-    comparison (per-element sum + first element)."""
+    bmp/png/wav (byte-offset BMP pixel parse; zlib IDAT inflate + full
+    None/Sub/Up/Average/Paeth scanline reconstruction; wave-module PCM) and
+    a digest stub for codec-needing mp4. The oracle decodes the same
+    payloads with DIFFERENT code (manual int.from_bytes header/chunk/RIFF
+    parsing and scalar unfiltering in scripts/gen_expected.py), so the
+    feature values — not just hashes — are cross-checked. Features
+    quantized to basis points for hash-stable comparison (per-element sum +
+    first element)."""
     from finance_sc_relations_spark.operators.multimodal import (
         extract_media_features,
         make_synthetic_media,

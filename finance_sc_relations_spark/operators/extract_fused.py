@@ -52,6 +52,9 @@ def tag_and_score(
     reverse: bool = True,
     model_broadcast=None,
     model_path: str | None = None,
+    tokenizer_broadcast=None,
+    max_length: int | None = None,
+    dropped_acc=None,
 ) -> DataFrame:
     """gated mentions (url, sentence_id, sentence, org_groups) -> scored
     position rows, one Arrow pass. Feed to
@@ -59,10 +62,17 @@ def tag_and_score(
 
     model_broadcast: optional sc.broadcast(serialize_model(...)) — the
     transformer drop-in seam (loaded once per executor). model_path: LOCAL
-    checkpoint file alternative (model.pth.tar flow, infer.py:67-133)."""
+    checkpoint file alternative (model.pth.tar flow, infer.py:67-133).
+    tokenizer_broadcast / max_length / dropped_acc: token-ID preprocessing
+    (same contract as re_classifier.score_pairs): encode each tagged
+    sentence with the broadcast WordPieceTokenizer, index [E1]/[E2] in the
+    subword ids, DROP rows whose markers were truncated away at max_length
+    and count them into dropped_acc (preprocessing_funcs.py:333-339);
+    models exposing score_ids_batch receive (ids, e1_e2_starts)."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = resolve_model(model_broadcast, model_path)
+        tok = tokenizer_broadcast.value if tokenizer_broadcast is not None else None
         for batch in batches:
             meta = []  # (url, sentence_id, r_id, entity1, entity2)
             sents = []
@@ -79,9 +89,40 @@ def tag_and_score(
                         sents.append(tagged)
             if not sents:
                 continue
-            fwd = model.score_batch(sents)
-            if reverse:
-                rev = model.score_batch([inverse_relations(s) for s in sents])
+            encoded = starts = None
+            if tok is not None:
+                from ..functions.wordpiece import encode_with_markers
+
+                encoded, starts = encode_with_markers(tok, sents, max_length)
+                keep = [i for i, st in enumerate(starts) if st is not None]
+                n_drop = len(sents) - len(keep)
+                if n_drop and dropped_acc is not None:
+                    dropped_acc.add(n_drop)
+                if not keep:
+                    continue
+                meta = [meta[i] for i in keep]
+                sents = [sents[i] for i in keep]
+                encoded = [encoded[i] for i in keep]
+                starts = [starts[i] for i in keep]
+            if tok is not None and hasattr(model, "score_ids_batch"):
+                fwd = model.score_ids_batch(encoded, starts)
+                if reverse:
+                    from ..functions.wordpiece import encode_with_markers
+
+                    rev_enc, rev_starts = encode_with_markers(
+                        tok, [inverse_relations(s) for s in sents], max_length
+                    )
+                    rev = model.score_ids_batch(rev_enc, rev_starts)
+                else:
+                    rev = None
+            else:
+                fwd = model.score_batch(sents)
+                rev = (
+                    model.score_batch([inverse_relations(s) for s in sents])
+                    if reverse
+                    else None
+                )
+            if rev is not None:
                 rev_swapped = rev.copy()
                 rev_swapped[:, [SUP, CUS]] = rev[:, [CUS, SUP]]
                 scores = (fwd + rev_swapped) / 2.0

@@ -233,6 +233,29 @@ def get_sc_model() -> SCLexicalModel:
     return _SC_MODEL
 
 
+class MarkerProbeModel:
+    """Contract probe for the token-ID scoring seam: a model exposing
+    score_ids_batch(ids_batch, e1_e2_starts) receives the ENCODED form the
+    transformer RE head consumes (re_trf.py:51-65 pools hidden states at
+    the [E1]/[E2] marker positions). This probe echoes its inputs through
+    the score row — sup=e1_pos, cus=e2_pos, oth=len(ids) — so tests can
+    assert exactly what reached the model; score_batch raises, proving the
+    string path is bypassed when a tokenizer is wired."""
+
+    num_labels = 3
+
+    def score_ids_batch(self, ids_batch, starts) -> np.ndarray:
+        out = np.zeros((len(ids_batch), 3), dtype=np.float32)
+        for i, (ids, st) in enumerate(zip(ids_batch, starts)):
+            out[i] = (st[0], st[1], len(ids))
+        return out
+
+    def score_batch(self, texts: Sequence[str]) -> np.ndarray:
+        raise AssertionError(
+            "MarkerProbeModel.score_batch called — tokenizer path not wired"
+        )
+
+
 class ConstantModel:
     """Contract/debug scorer: one fixed score row for every input. Exists so
     the broadcast-checkpoint seam (serialize_model/model_from_broadcast) can

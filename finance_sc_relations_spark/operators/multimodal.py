@@ -7,9 +7,12 @@ contract is actually exercised end to end (the r2 oracle only checked hash
 plumbing):
 
 - BMP (24-bit uncompressed) via struct byte-offset parsing;
+- PNG (8-bit RGB, non-interlaced) via stdlib zlib: chunk walk, IDAT
+  inflate, and full per-scanline filter reconstruction (None/Sub/Up/
+  Average/Paeth);
 - WAV (16-bit PCM) via the stdlib `wave` module.
 
-Formats needing external codecs (png/jpeg/mp4) fall back to a clearly-marked
+Formats needing external codecs (jpeg/mp4) fall back to a clearly-marked
 deterministic digest STUB — the Spark-side contract (schema, batch shape,
 partition sizing) stays identical, and a real cluster swaps the stub for
 PIL/libvips/ffmpeg without touching the DAG.
@@ -100,6 +103,78 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return block.astype(np.float32)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder: 8-bit RGB non-interlaced PNG -> (h, w, 3) float32
+    pixel block via stdlib zlib — chunk walk (IHDR/IDAT/IEND), inflate,
+    then per-scanline filter reconstruction: None(0), Sub(1), Up(2),
+    Average(3), Paeth(4)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2 or inter != 0:
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3 + 1
+    prior = bytearray(w * 3)
+    rows = []
+    for r in range(h):
+        ft = raw[r * stride]
+        line = bytearray(raw[r * stride + 1 : (r + 1) * stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, len(line)):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(line)):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        prior = line
+        rows.append(np.frombuffer(bytes(line), np.uint8).reshape(w, 3))
+    return np.stack(rows).astype(np.float32)
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL decoder: 16-bit PCM WAV -> (int16 sample array, frame rate) via
     the stdlib wave module."""
@@ -112,8 +187,8 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_stub(payload: bytes) -> np.ndarray:
-    """STUB for formats whose codecs aren't in this container (png/jpeg/
-    mp4): a deterministic digest block stands in for decoded content so the
+    """STUB for formats whose codecs aren't in this container (jpeg/mp4):
+    a deterministic digest block stands in for decoded content so the
     plumbing stays testable. Clearly NOT a content decode."""
     digest = hashlib.blake2b(payload, digest_size=32).digest()
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
@@ -124,6 +199,8 @@ def _decode_values(payload: bytes, media_type: str, fmt: str | None) -> np.ndarr
     mapped from [-1,1]; digest stubs /255)."""
     if media_type == "image" and fmt == "bmp":
         return _decode_bmp(payload).ravel() / 255.0
+    if media_type == "image" and fmt == "png":
+        return _decode_png(payload).ravel() / 255.0
     if media_type == "audio" and fmt == "wav":
         samples, _ = _decode_wav(payload)
         return (samples.astype(np.float32) / 32768.0 + 1.0) / 2.0
@@ -256,6 +333,69 @@ def make_bmp(tag: str, width: int = 8, height: int = 8) -> bytes:
     return header + info + bytes(pix)
 
 
+def make_png(tag: str, width: int = 8, height: int = 8) -> bytes:
+    """A real 8-bit RGB non-interlaced PNG with deterministic pixels and a
+    DIFFERENT filter type per scanline (row r uses filter r % 5) so the
+    decoder's full None/Sub/Up/Average/Paeth reconstruction is exercised."""
+    import zlib
+
+    bpp = 3
+    raw = det_bytes(tag, width * 3 * height)
+    filtered = bytearray()
+    prior = bytes(width * 3)
+    for r in range(height):
+        row = raw[r * width * 3 : (r + 1) * width * 3]
+        ft = r % 5
+        filtered.append(ft)
+        if ft == 0:
+            filtered += row
+        elif ft == 1:
+            filtered += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif ft == 2:
+            filtered += bytes(
+                (row[i] - prior[i]) & 0xFF for i in range(len(row))
+            )
+        elif ft == 3:
+            filtered += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2)
+                & 0xFF
+                for i in range(len(row))
+            )
+        else:
+            filtered += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(row))
+            )
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def make_wav(tag: str, duration_ms: int = 5000, rate: int = AUDIO_RATE) -> bytes:
     """A real 16-bit PCM mono WAV with deterministic sample bytes."""
     n_samples = duration_ms * rate // 1000
@@ -271,13 +411,18 @@ def make_wav(tag: str, duration_ms: int = 5000, rate: int = AUDIO_RATE) -> bytes
 
 def make_synthetic_media(spark, n: int = 50) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks (no external
-    data): REAL BMP images and WAV audio, digest-backed opaque mp4 video."""
+    data): REAL BMP + PNG images and WAV audio, digest-backed opaque mp4
+    video."""
     rows = []
     for i in range(n):
-        mtype = ["image", "audio", "video"][i % 3]
+        mtype = ["image", "png", "audio", "video"][i % 4]
         if mtype == "image":
             payload = make_bmp(f"media{i}")
             meta = {"media_type": "image", "format": "bmp",
+                    "width": 8, "height": 8, "duration_ms": None}
+        elif mtype == "png":
+            payload = make_png(f"media{i}")
+            meta = {"media_type": "image", "format": "png",
                     "width": 8, "height": 8, "duration_ms": None}
         elif mtype == "audio":
             payload = make_wav(f"media{i}")

@@ -63,6 +63,9 @@ def score_pairs(
     model_partitions: int | None = None,
     model_broadcast=None,
     model_path: str | None = None,
+    tokenizer_broadcast=None,
+    max_length: int | None = None,
+    dropped_acc=None,
 ) -> DataFrame:
     """PAIRS rows -> per-position score rows (one row per tagged position).
 
@@ -80,6 +83,15 @@ def score_pairs(
     model_path: optional LOCAL checkpoint file (the model.pth.tar flow,
     src/relation_extraction/infer.py:67-133) loaded once per executor —
     ship it with spark-submit --files or a shared filesystem.
+    tokenizer_broadcast: optional sc.broadcast(WordPieceTokenizer) — enables
+    the reference's token-ID preprocessing (re_dataset,
+    preprocessing_funcs.py:320-339): each tagged sentence is ENCODED, the
+    [E1]/[E2] markers are indexed in the subword-id sequence, and rows
+    whose markers were truncated away at `max_length` (or never tagged) are
+    DROPPED and counted into `dropped_acc` (a sc.accumulator — the
+    "Invalid rows/total" lineage). A model exposing score_ids_batch(ids,
+    e1_e2_starts) receives the encoded form (the transformer contract);
+    otherwise the surviving tagged strings are scored as before.
     """
     df = pairs
     if model_partitions:
@@ -87,6 +99,7 @@ def score_pairs(
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = resolve_model(model_broadcast, model_path)
+        tok = tokenizer_broadcast.value if tokenizer_broadcast is not None else None
         for batch in batches:
             if len(batch) == 0:
                 continue
@@ -96,10 +109,37 @@ def score_pairs(
                     mutate_sent(s, dict(g), seed_key=r)
                     for s, g, r in zip(sents, batch["org_groups"], batch["r_id"])
                 ]
-            fwd = model.score_batch(sents)
-            if reverse:
-                rev_sents = [inverse_relations(s) for s in sents]
-                rev = model.score_batch(rev_sents)
+            if tok is not None:
+                from ..functions.wordpiece import encode_with_markers
+
+                encoded, starts = encode_with_markers(tok, sents, max_length)
+                keep = [i for i, st in enumerate(starts) if st is not None]
+                n_drop = len(sents) - len(keep)
+                if n_drop and dropped_acc is not None:
+                    dropped_acc.add(n_drop)
+                if not keep:
+                    continue
+                batch = batch.iloc[keep].reset_index(drop=True)
+                sents = [sents[i] for i in keep]
+                encoded = [encoded[i] for i in keep]
+                starts = [starts[i] for i in keep]
+            if tok is not None and hasattr(model, "score_ids_batch"):
+                fwd = model.score_ids_batch(encoded, starts)
+                if reverse:
+                    rev_enc, rev_starts = encode_with_markers(
+                        tok, [inverse_relations(s) for s in sents], max_length
+                    )
+                    rev = model.score_ids_batch(rev_enc, rev_starts)
+                else:
+                    rev = None
+            else:
+                fwd = model.score_batch(sents)
+                rev = (
+                    model.score_batch([inverse_relations(s) for s in sents])
+                    if reverse
+                    else None
+                )
+            if rev is not None:
                 # swap supplier<->customer columns of the reversed pass
                 # (infer.py:163-166), then average
                 rev_swapped = rev.copy()
@@ -176,11 +216,17 @@ def classify_pairs(
     model_partitions: int | None = None,
     model_broadcast=None,
     model_path: str | None = None,
+    tokenizer_broadcast=None,
+    max_length: int | None = None,
+    dropped_acc=None,
 ) -> DataFrame:
     """Full R2-R8 chain: score positions, position-mean, argmax."""
     return aggregate_positions(
         score_pairs(pairs, mutate=mutate, reverse=reverse,
                     model_partitions=model_partitions,
                     model_broadcast=model_broadcast,
-                    model_path=model_path)
+                    model_path=model_path,
+                    tokenizer_broadcast=tokenizer_broadcast,
+                    max_length=max_length,
+                    dropped_acc=dropped_acc)
     )

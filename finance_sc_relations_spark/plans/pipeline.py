@@ -65,6 +65,14 @@ class PipelineConfig:
     # once per executor — the broadcast's sibling for node-local / --files
     # shipped checkpoints.
     re_model_path: str | None = None
+    # Optional sc.broadcast(WordPieceTokenizer): enables the reference's
+    # token-ID preprocessing (encode tagged sentences, index [E1]/[E2] in
+    # subword ids, drop rows whose markers were truncated away at
+    # re_max_length, counting them into re_dropped_acc — the
+    # preprocessing_funcs.py:333-339 "Invalid rows/total" lineage).
+    re_tokenizer_broadcast: object = None
+    re_max_length: int | None = None
+    re_dropped_acc: object = None
     # None = auto: use the distributed (cogroup-by-prefix) linking tier when
     # the dictionary exceeds max_broadcast_dict_rows; True/False forces.
     # The NER gazetteer always needs a driver-side dict — above the
@@ -135,6 +143,9 @@ def run_pipeline(
             reverse=cfg.reverse,
             model_broadcast=cfg.re_model_broadcast,
             model_path=cfg.re_model_path,
+            tokenizer_broadcast=cfg.re_tokenizer_broadcast,
+            max_length=cfg.re_max_length,
+            dropped_acc=cfg.re_dropped_acc,
         )
         classified = aggregate_positions(scored)
     else:
@@ -149,6 +160,9 @@ def run_pipeline(
             model_partitions=cfg.model_partitions,
             model_broadcast=cfg.re_model_broadcast,
             model_path=cfg.re_model_path,
+            tokenizer_broadcast=cfg.re_tokenizer_broadcast,
+            max_length=cfg.re_max_length,
+            dropped_acc=cfg.re_dropped_acc,
         )
     triples = emit_triples(classified, score_threshold=cfg.score_threshold)
     if cfg.persist_intermediate:

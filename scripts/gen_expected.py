@@ -250,16 +250,71 @@ def _wav_pcm_manual(payload: bytes) -> tuple[bytes, int]:
     return data, rate
 
 
+def _png_pixels_manual(payload: bytes) -> np.ndarray:
+    """Manual PNG parse, written INDEPENDENTLY of the package decoder:
+    int.from_bytes chunk walk (no struct), pure-Python scalar unfiltering
+    with the predictor inlined per row — same RFC, different code."""
+    assert payload[:8] == bytes([137]) + b"PNG" + bytes([13, 10, 26, 10])
+    at = 8
+    width = height = None
+    compressed = b""
+    while at < len(payload):
+        ln = int.from_bytes(payload[at : at + 4], "big")
+        kind = payload[at + 4 : at + 8].decode("latin1")
+        body = payload[at + 8 : at + 8 + ln]
+        if kind == "IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            assert body[8] == 8 and body[9] == 2 and body[12] == 0
+        elif kind == "IDAT":
+            compressed += body
+        elif kind == "IEND":
+            break
+        at += 8 + ln + 4
+    import zlib as _z
+
+    plain = _z.decompress(compressed)
+    px_prev = [0] * (width * 3)
+    out: list[int] = []
+    for row in range(height):
+        base = row * (width * 3 + 1)
+        ftype = plain[base]
+        cur: list[int] = []
+        for k in range(width * 3):
+            x = plain[base + 1 + k]
+            a = cur[k - 3] if k >= 3 else 0
+            b = px_prev[k]
+            c = px_prev[k - 3] if k >= 3 else 0
+            if ftype == 1:
+                x = x + a
+            elif ftype == 2:
+                x = x + b
+            elif ftype == 3:
+                x = x + (a + b) // 2
+            elif ftype == 4:
+                p_ = a + b - c
+                da, db, dc = abs(p_ - a), abs(p_ - b), abs(p_ - c)
+                pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                x = x + pred
+            cur.append(x % 256)
+        out.extend(cur)
+        px_prev = cur
+    return np.asarray(out, dtype=np.uint8)
+
+
 def _media_payload(i: int):
     from finance_sc_relations_spark.operators.multimodal import (
         det_bytes,
         make_bmp,
+        make_png,
         make_wav,
     )
 
-    mtype = ["image", "audio", "video"][i % 3]
+    mtype = ["image", "png", "audio", "video"][i % 4]
     if mtype == "image":
         return mtype, make_bmp(f"media{i}")
+    if mtype == "png":
+        return mtype, make_png(f"media{i}")
     if mtype == "audio":
         return mtype, make_wav(f"media{i}")
     return mtype, det_bytes(f"media{i}", 4096)
@@ -275,6 +330,8 @@ def gen_multimodal(n=30, feature_dim=8) -> pd.DataFrame:
         mtype, payload = _media_payload(i)
         if mtype == "image":
             values = _bmp_pixels_manual(payload).astype(np.float32) / 255.0
+        elif mtype == "png":
+            values = _png_pixels_manual(payload).astype(np.float32) / 255.0
         elif mtype == "audio":
             pcm, _ = _wav_pcm_manual(payload)
             s = np.frombuffer(pcm, dtype="<i2")

@@ -82,3 +82,64 @@ def test_frame_sampling_real_audio_windows(spark):
     # video frames stay digest-stubbed, deterministic and distinct
     p = frames[frames.media_id == 2].sort_values("offset_ms")["frame_payload"]
     assert len({bytes(x) for x in p}) == 5
+
+
+def test_png_decode_roundtrip_all_filters():
+    """make_png writes one scanline per filter type (r % 5); the stdlib
+    decoder must reconstruct the exact deterministic pixel bytes through
+    None/Sub/Up/Average/Paeth."""
+    import numpy as np
+    import pytest
+
+    from finance_sc_relations_spark.operators.multimodal import (
+        _decode_png,
+        det_bytes,
+        make_png,
+    )
+
+    for tag, w, h in [("p1", 8, 8), ("p2", 5, 7), ("p3", 1, 6)]:
+        px = _decode_png(make_png(tag, w, h))
+        want = np.frombuffer(det_bytes(tag, w * 3 * h), np.uint8).reshape(
+            h, w, 3
+        )
+        assert px.shape == (h, w, 3)
+        assert (px == want.astype(np.float32)).all()
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"BM" + b"\x00" * 64)
+
+
+def test_png_features_differ_from_digest_stub(spark):
+    """PNG items are decoded for real: their features equal the pixel-bin
+    means, not the digest-stub values the old path produced."""
+    import numpy as np
+
+    from finance_sc_relations_spark.operators.multimodal import (
+        _decode_stub,
+        det_bytes,
+        extract_media_features,
+        make_png,
+        make_synthetic_media,
+    )
+
+    media = make_synthetic_media(spark, n=8)
+    feats = {
+        r["media_id"]: np.array(r["features"])
+        for r in extract_media_features(media).collect()
+    }
+    # media_id 1 and 5 are the png slots of the 4-way cycle
+    for mid in (1, 5):
+        pixels = (
+            np.frombuffer(det_bytes(f"media{mid}", 8 * 3 * 8), np.uint8)
+            .astype(np.float32)
+            / 255.0
+        )
+        want = np.array(
+            [b.mean() for b in np.array_split(pixels, 8)], dtype=np.float32
+        )
+        assert np.allclose(feats[mid], want, atol=1e-6)
+        stub = _decode_stub(make_png(f"media{mid}")) / 255.0
+        stub_vec = np.array(
+            [b.mean() for b in np.array_split(stub, 8)], dtype=np.float32
+        )
+        assert not np.allclose(feats[mid], stub_vec)
