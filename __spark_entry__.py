@@ -1294,6 +1294,101 @@ FROM read_parquet('{_EXPECTED_DIR}/curation_survivors.parquet')
 
 
 
+def _q_bm25_top_terms(spark, sf_dir):
+    """Per-doc top-5 BM25 terms (operators/text_stats.py::bm25_top_terms).
+    Live DuckDB oracle: the same tf/df/dl/avgdl algebra in SQL; scores
+    quantized to basis points with a deterministic (score_bp desc, token)
+    ranking so the two engines' doubles agree (boundary margin asserted in
+    tests/test_text_analysis extras)."""
+    from finance_sc_relations_spark.operators.text_stats import bm25_top_terms
+
+    return bm25_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> length(t) > 0)) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+  HAVING count(*) >= 2
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / stats.avgdl))
+           * 10000 + 0.5) AS BIGINT) AS score_bp
+  FROM tf
+  JOIN dfreq USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_bp DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score_bp
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (operators/dedup.py::duplicate_spans):
+    13-token windows shared by >= 2 docs, merged per doc into maximal
+    spans — the distributed stand-in for suffix-array substring dedup.
+    Live DuckDB oracle: the same window/dup/gaps-and-islands algebra in
+    SQL (list_transform windows, HAVING count(DISTINCT doc), lag-based
+    island numbering)."""
+    from finance_sc_relations_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=13)
+
+
+_DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(tk) - 13 + 1),
+                i -> {'pos': i, 'gram': array_to_string(tk[i+1:i+13], ' ')})) AS w
+  FROM toks WHERE len(tk) >= 13
+), wf AS (
+  SELECT doc_id, w.pos AS pos, w.gram AS gram FROM wins
+), dup AS (
+  SELECT gram FROM wf GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dw AS (
+  SELECT wf.doc_id, wf.pos FROM wf JOIN dup USING (gram)
+), flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 13
+              THEN 1 ELSE 0 END AS brk
+  FROM dw
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM flag
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 13 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grp GROUP BY doc_id, g
+"""
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals (duplicate-sentence fraction,
     top-2-gram occupancy) in basis points — pure Catalyst array algebra +
@@ -1496,6 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": _q_cube_rollup,
         "asof_join_events": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
+        "duplicate_spans": _q_duplicate_spans,
+        "bm25_top_terms": _q_bm25_top_terms,
         "sessionize": _q_sessionize,
         "triangle_count": _q_triangle_count,
         "token_cooccurrence": _q_token_cooccurrence,
@@ -1548,6 +1645,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_rollup": _CUBE_SQL,
         "asof_join_events": _ASOF_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "duplicate_spans": _DUP_SPANS_SQL,
+        "bm25_top_terms": _BM25_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "triangle_count": _TRIANGLES_SQL,
         "token_cooccurrence": _TOKEN_COOC_SQL,

@@ -504,6 +504,88 @@ def near_dup_clusters(
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 13,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING detection — the span-level dedup tier
+    between exact-document dedup and MinHash near-dup (the "Deduplicating
+    Training Data Makes Language Models Better" operation: memorized
+    boilerplate usually repeats as passages inside otherwise-distinct
+    documents, which whole-document fingerprints never see).
+
+    Every n-token window that appears in >= min_docs DISTINCT documents is
+    a duplicated window; per document, overlapping-or-adjacent duplicated
+    windows merge into maximal spans. Returns one row per span:
+    (doc_id, span_start, span_end, n_windows) with token offsets
+    [span_start, span_end) — downstream curation can cut the spans or drop
+    the doc on coverage.
+
+    Scale shape (suffix arrays don't distribute; this does):
+      1. window explode — one row per position, linear in corpus tokens
+         (same posting-list shape as decontaminate's gram explode);
+      2. duplicated-gram selection — groupBy(gram) count(DISTINCT doc):
+         partial aggregation map-side, hot boilerplate grams are exactly
+         the ones AQE's skew handling splits;
+      3. semi-join windows against the duplicated-gram set (equi-join on
+         gram, no broadcast assumption — the dup set can be huge);
+      4. per-doc gaps-and-islands merge: one window function over
+         (doc_id, pos) — a single shuffle on doc_id.
+    Nothing is quadratic; every stage is a hash shuffle Catalyst plans.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    wins = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(words, i + 1, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    w = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    )
+    dup_grams = (
+        w.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dw = w.join(dup_grams, "gram", "left_semi").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dw.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") > F.lag("pos").over(order) + n, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_grp",
+        F.sum("_brk").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("_grp")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_texts: DataFrame,

@@ -285,6 +285,83 @@ def token_cooccurrence(
     )
 
 
+def bm25_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k BM25-scored terms — corpus keyword extraction /
+    relevance-feature materialization (the Okapi BM25 term weight every
+    retrieval-augmented training pipeline needs precomputed).
+
+    score(t, d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   [Robertson-Sparck Jones].
+
+    Scale shape: tf is one groupBy(doc, token) (map-side combinable); df
+    one groupBy(token); dl one groupBy(doc); N and avgdl ride a 1-row
+    broadcast cross join (no driver collect); the final top-k is one
+    row_number window on doc_id. Scores are emitted quantized to basis
+    points (score_bp) with a deterministic (score_bp desc, token asc)
+    ranking, so results are engine-portable; min_df drops the
+    singleton-token tail before the df join."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score_bp",
+            F.floor(idf * norm * 10000 + F.lit(0.5)).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_bp").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_bp",
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     ngram_n: int = 2,
