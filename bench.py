@@ -83,7 +83,8 @@ def bench_default() -> None:
     from finance_sc_relations_spark.operators import simsearch as S
     import __spark_entry__ as E
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    pinned = os.environ.get("SPARK_GRAFT_BENCH_PINNED") == "1"
     spark = build_session(master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     queries = {}
@@ -113,6 +114,7 @@ def bench_default() -> None:
         "corpus_report", "token_budget_sample", "repetition_stats",
         "asof_join_events", "cube_rollup", "rolling_revenue",
         "sessionize", "triangle_count", "token_cooccurrence",
+        "duplicate_spans", "bm25_top_terms",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
     # curation persists its branch points per call: best-of-2 keeps the
@@ -183,9 +185,13 @@ def bench_default() -> None:
                 "kg_pages_per_sec": round(kg["n_pages"] / kg_sec, 2),
                 "cpus": CPUS,
                 "methodology": (
-                    f"taskset-pinned to {CPUS} CPUs, warm JVM, best-of-"
-                    f"{repeats} per query (long jobs best-of-2); min-of-k "
-                    "rejects host CPU-steal samples"
+                    (
+                        f"taskset-pinned to {CPUS} CPUs"
+                        if pinned
+                        else f"UNPINNED (taskset unavailable), {CPUS} slots"
+                    )
+                    + f", warm JVM, best-of-{repeats} per query (long jobs "
+                    "best-of-2); min-of-k rejects host CPU-steal samples"
                 ),
             }
         )

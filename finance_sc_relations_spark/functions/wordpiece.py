@@ -214,6 +214,16 @@ def encode_with_markers(
     and unfused scoring paths."""
     e1_id = tok.convert_tokens_to_ids("[E1]")
     e2_id = tok.convert_tokens_to_ids("[E2]")
+    unk_id = tok.vocab[tok.UNK]
+    # The reference asserts e1_id != e2_id != 1 at tokenizer setup
+    # (preprocessing_funcs.py:385). A vocab missing the RE specials maps
+    # them to [UNK], which would make EVERY unknown subword "match" as a
+    # marker and feed garbage pooling positions to the model — fail loudly.
+    if e1_id == unk_id or e2_id == unk_id or e1_id == e2_id:
+        raise ValueError(
+            "tokenizer lacks the [E1]/[E2] special tokens (they resolve to "
+            "[UNK]); build it with build_re_tokenizer or add_tokens first"
+        )
     encoded = [tok.encode(s, max_length=max_length) for s in sents]
     starts = [get_e1e2_start_ids(ids, e1_id, e2_id) for ids in encoded]
     return encoded, starts

@@ -526,12 +526,22 @@ def duplicate_spans(
 
     Scale shape (suffix arrays don't distribute; this does):
       1. window explode — one row per position, linear in corpus tokens
-         (same posting-list shape as decontaminate's gram explode);
-      2. duplicated-gram selection — groupBy(gram) count(DISTINCT doc):
+         (same posting-list shape as decontaminate's gram explode). Gram
+         STRINGS never leave the codegen stage: each window is reduced to
+         a 128-bit fingerprint (two independent xxhash64 lanes) inside the
+         projection, so the shuffle/checkpoint carries 16 bytes per
+         position instead of an n-token string (~90 B at n=13 — a ~6x
+         shuffle-volume cut, which at web scale is the difference between
+         shuffling the corpus and shuffling a fingerprint column). A
+         false duplicate needs a simultaneous collision in both lanes:
+         ~N^2 / 2^128 — at 10^13 windows that is ~1e-13, far below any
+         storage-layer error rate (the DuckDB oracle compares via full
+         gram strings, so a collision would surface as a mismatch);
+      2. duplicated-fingerprint selection — groupBy count(DISTINCT doc):
          partial aggregation map-side, hot boilerplate grams are exactly
          the ones AQE's skew handling splits;
-      3. semi-join windows against the duplicated-gram set (equi-join on
-         gram, no broadcast assumption — the dup set can be huge);
+      3. semi-join windows against the duplicated set (equi-join on the
+         fingerprint, no broadcast assumption — the dup set can be huge);
       4. per-doc gaps-and-islands merge: one window function over
          (doc_id, pos) — a single shuffle on doc_id.
     Nothing is quadratic; every stage is a hash shuffle Catalyst plans.
@@ -550,17 +560,29 @@ def duplicate_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    # Branch point: the window explode (the dominant cost — one fingerprint
+    # pair per corpus token position) feeds BOTH the dup-fingerprint
+    # aggregate and the semi-join leg; materialize once instead of
+    # exploding twice. The gram string is built ONCE in this projection and
+    # hashed twice; only the 16-byte fingerprint survives into the
+    # checkpoint/shuffles.
     w = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w"))
-        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+        .select(
+            "doc_id",
+            F.col("w.pos").alias("pos"),
+            F.xxhash64(F.col("w.gram")).alias("h1"),
+            F.xxhash64(F.col("w.gram"), F.lit(0x9E37)).alias("h2"),
+        )
+        .localCheckpoint(eager=True)
     )
     dup_grams = (
-        w.groupBy("gram")
+        w.groupBy("h1", "h2")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("gram")
+        .select("h1", "h2")
     )
-    dw = w.join(dup_grams, "gram", "left_semi").select("doc_id", "pos")
+    dw = w.join(dup_grams, ["h1", "h2"], "left_semi").select("doc_id", "pos")
     from pyspark.sql import Window
 
     order = Window.partitionBy("doc_id").orderBy("pos")

@@ -28,10 +28,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.tagging import entity_annotation, inverse_relations, mutate_sent
+from ..functions.tagging import entity_annotation, mutate_sent
 from .models import resolve_model
 from .pairs import enumerate_pairs
-from .re_classifier import CUS, SUP
+from .re_classifier import gate_and_score
 
 SCORED_POSITIONS_SCHEMA = StructType(
     [
@@ -89,45 +89,13 @@ def tag_and_score(
                         sents.append(tagged)
             if not sents:
                 continue
-            encoded = starts = None
-            if tok is not None:
-                from ..functions.wordpiece import encode_with_markers
-
-                encoded, starts = encode_with_markers(tok, sents, max_length)
-                keep = [i for i, st in enumerate(starts) if st is not None]
-                n_drop = len(sents) - len(keep)
-                if n_drop and dropped_acc is not None:
-                    dropped_acc.add(n_drop)
-                if not keep:
-                    continue
+            keep, scores = gate_and_score(
+                model, tok, sents, max_length, reverse, dropped_acc
+            )
+            if not keep:
+                continue
+            if len(keep) != len(meta):
                 meta = [meta[i] for i in keep]
-                sents = [sents[i] for i in keep]
-                encoded = [encoded[i] for i in keep]
-                starts = [starts[i] for i in keep]
-            if tok is not None and hasattr(model, "score_ids_batch"):
-                fwd = model.score_ids_batch(encoded, starts)
-                if reverse:
-                    from ..functions.wordpiece import encode_with_markers
-
-                    rev_enc, rev_starts = encode_with_markers(
-                        tok, [inverse_relations(s) for s in sents], max_length
-                    )
-                    rev = model.score_ids_batch(rev_enc, rev_starts)
-                else:
-                    rev = None
-            else:
-                fwd = model.score_batch(sents)
-                rev = (
-                    model.score_batch([inverse_relations(s) for s in sents])
-                    if reverse
-                    else None
-                )
-            if rev is not None:
-                rev_swapped = rev.copy()
-                rev_swapped[:, [SUP, CUS]] = rev[:, [CUS, SUP]]
-                scores = (fwd + rev_swapped) / 2.0
-            else:
-                scores = fwd
             out = pd.DataFrame(
                 meta, columns=["url", "sentence_id", "r_id", "entity1", "entity2"]
             )

@@ -56,6 +56,66 @@ _SCORED_POSITIONS = StructType(
 SUP, CUS, OTH = 0, 1, 2  # LABELS order
 
 
+def gate_and_score(model, tok, sents, max_length, reverse, dropped_acc):
+    """Shared tokenizer-gate + scoring kernel for BOTH extraction paths
+    (fused tag_and_score and unfused score_pairs) — one copy so the
+    drop/score contract cannot silently diverge between them.
+
+    When `tok` is set: encode each tagged sentence, index [E1]/[E2] in the
+    subword ids, DROP rows whose markers are missing (truncated away at
+    max_length), counting them into dropped_acc. Models exposing
+    score_ids_batch(ids, e1_e2_starts) receive the encoded form; otherwise
+    the surviving strings go through score_batch. The direction-reverse
+    ensemble (infer.py:150-167) swaps supplier<->customer columns of the
+    reversed pass and averages.
+
+    Returns (keep, scores): `keep` indexes the surviving rows of `sents`
+    (all rows when tok is None); `scores` is the (len(keep), 3) ensemble
+    matrix, or None when nothing survived."""
+    encoded = starts = None
+    if tok is not None:
+        from ..functions.wordpiece import encode_with_markers
+
+        encoded, starts = encode_with_markers(tok, sents, max_length)
+        keep = [i for i, st in enumerate(starts) if st is not None]
+        n_drop = len(sents) - len(keep)
+        if n_drop and dropped_acc is not None:
+            dropped_acc.add(n_drop)
+        if not keep:
+            return [], None
+        sents = [sents[i] for i in keep]
+        encoded = [encoded[i] for i in keep]
+        starts = [starts[i] for i in keep]
+    else:
+        keep = list(range(len(sents)))
+    if tok is not None and hasattr(model, "score_ids_batch"):
+        fwd = model.score_ids_batch(encoded, starts)
+        rev = None
+        if reverse:
+            from ..functions.wordpiece import encode_with_markers
+
+            rev_enc, rev_starts = encode_with_markers(
+                tok, [inverse_relations(s) for s in sents], max_length
+            )
+            rev = model.score_ids_batch(rev_enc, rev_starts)
+    else:
+        fwd = model.score_batch(sents)
+        rev = (
+            model.score_batch([inverse_relations(s) for s in sents])
+            if reverse
+            else None
+        )
+    if rev is not None:
+        # swap supplier<->customer columns of the reversed pass
+        # (infer.py:163-166), then average
+        rev_swapped = rev.copy()
+        rev_swapped[:, [SUP, CUS]] = rev[:, [CUS, SUP]]
+        scores = (fwd + rev_swapped) / 2.0
+    else:
+        scores = fwd
+    return keep, scores
+
+
 def score_pairs(
     pairs: DataFrame,
     mutate: bool = True,
@@ -109,44 +169,13 @@ def score_pairs(
                     mutate_sent(s, dict(g), seed_key=r)
                     for s, g, r in zip(sents, batch["org_groups"], batch["r_id"])
                 ]
-            if tok is not None:
-                from ..functions.wordpiece import encode_with_markers
-
-                encoded, starts = encode_with_markers(tok, sents, max_length)
-                keep = [i for i, st in enumerate(starts) if st is not None]
-                n_drop = len(sents) - len(keep)
-                if n_drop and dropped_acc is not None:
-                    dropped_acc.add(n_drop)
-                if not keep:
-                    continue
+            keep, scores = gate_and_score(
+                model, tok, sents, max_length, reverse, dropped_acc
+            )
+            if not keep:
+                continue
+            if len(keep) != len(batch):
                 batch = batch.iloc[keep].reset_index(drop=True)
-                sents = [sents[i] for i in keep]
-                encoded = [encoded[i] for i in keep]
-                starts = [starts[i] for i in keep]
-            if tok is not None and hasattr(model, "score_ids_batch"):
-                fwd = model.score_ids_batch(encoded, starts)
-                if reverse:
-                    rev_enc, rev_starts = encode_with_markers(
-                        tok, [inverse_relations(s) for s in sents], max_length
-                    )
-                    rev = model.score_ids_batch(rev_enc, rev_starts)
-                else:
-                    rev = None
-            else:
-                fwd = model.score_batch(sents)
-                rev = (
-                    model.score_batch([inverse_relations(s) for s in sents])
-                    if reverse
-                    else None
-                )
-            if rev is not None:
-                # swap supplier<->customer columns of the reversed pass
-                # (infer.py:163-166), then average
-                rev_swapped = rev.copy()
-                rev_swapped[:, [SUP, CUS]] = rev[:, [CUS, SUP]]
-                scores = (fwd + rev_swapped) / 2.0
-            else:
-                scores = fwd
             yield pd.DataFrame(
                 {
                     "url": batch["url"],

@@ -238,14 +238,15 @@ def token_cooccurrence(
         wd = Window.partitionBy("doc").orderBy(
             F.col("df").asc(), F.col("token").asc()
         )
+        # one materialization serves the kept rows (both pair-join legs)
+        # AND the dropped count — no second pass over the ranked subtree
         ranked = (
             tokens.join(vocab, "token")
             .withColumn("_rn", F.row_number().over(wd))
+            .localCheckpoint(eager=True)
         )
-        kept = (
-            ranked.filter(F.col("_rn") <= max_tokens_per_doc)
-            .select("doc", "token")
-            .localCheckpoint(eager=True)  # feeds both pair-join legs
+        kept = ranked.filter(F.col("_rn") <= max_tokens_per_doc).select(
+            "doc", "token"
         )
         dropped = ranked.filter(F.col("_rn") > max_tokens_per_doc).count()
         if dropped:

@@ -19,6 +19,7 @@ SHOW = [
     "clean_text", "word_jaccard_pairs", "embedding_near_dups", "khop_2",
     "sessionize", "asof_join_events", "cube_rollup", "rolling_revenue",
     "triangle_count", "token_cooccurrence",
+    "duplicate_spans", "bm25_top_terms",
 ]
 
 

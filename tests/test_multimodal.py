@@ -69,18 +69,22 @@ def test_frame_sampling_real_audio_windows(spark):
     # only audio/video rows (duration 5000ms) produce frames: 5 frames each
     vids = frames.groupby("media_id").size()
     assert set(vids.values) == {5}
-    assert sorted(frames[frames.media_id == 2]["offset_ms"]) == [
+    # 4-way cycle: audio slots are i%4==2 (ids 2, 6), video i%4==3 (3, 7);
+    # images (bmp id 0/4/8, png id 1/5) have no duration -> no frames
+    assert sorted(vids.index) == [2, 3, 6, 7]
+    assert sorted(frames[frames.media_id == 3]["offset_ms"]) == [
         0, 1000, 2000, 3000, 4000,
     ]
     # audio frames are the REAL PCM slices of each 1s window
-    pcm = det_bytes("media1", 5000 * AUDIO_RATE // 1000 * 2)
-    aud = frames[frames.media_id == 1].sort_values("offset_ms")
+    pcm = det_bytes("media2", 5000 * AUDIO_RATE // 1000 * 2)
+    aud = frames[frames.media_id == 2].sort_values("offset_ms")
+    assert len(aud) == 5  # guard: the loop below must actually run
     for _, row in aud.iterrows():
         lo = int(row.offset_ms) * AUDIO_RATE // 1000 * 2
         hi = lo + AUDIO_RATE * 2
         assert bytes(row.frame_payload) == pcm[lo:hi]
     # video frames stay digest-stubbed, deterministic and distinct
-    p = frames[frames.media_id == 2].sort_values("offset_ms")["frame_payload"]
+    p = frames[frames.media_id == 3].sort_values("offset_ms")["frame_payload"]
     assert len({bytes(x) for x in p}) == 5
 
 
