@@ -1516,6 +1516,42 @@ GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 
 
 
+def _q_percentile_profile(spark, sf_dir):
+    """Exact per-group percentiles (p50/p90/p99 of event value per
+    event_type) via Spark's exact `percentile` aggregate — the
+    distribution-profiling aggregate of a data-quality report. Both
+    engines use the same continuous-interpolation definition
+    (rank = (n-1)*q, linear between neighbors: Spark percentile ==
+    DuckDB quantile_cont); values quantized to basis points for a
+    hash-stable compare. The approximate siblings (percentile_approx,
+    approx_count_distinct — the 100-TB path where exact sorts are
+    unaffordable) are accuracy-tested against these exact values in
+    tests/test_text_analysis_extras.py."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    out = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), pct.alias("p")
+    )
+    bp = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select(
+        "event_type",
+        "n",
+        bp(F.col("p")[0]).alias("p50_bp"),
+        bp(F.col("p")[1]).alias("p90_bp"),
+        bp(F.col("p")[2]).alias("p99_bp"),
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(quantile_cont(value, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_bp,
+       CAST(floor(quantile_cont(value, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_bp,
+       CAST(floor(quantile_cont(value, 0.99) * 10000 + 0.5) AS BIGINT) AS p99_bp
+FROM events GROUP BY event_type
+"""
+
+
 def _q_rolling_revenue(spark, sf_dir):
     """Time-RANGE window frame: each order's trailing-7-day revenue for its
     customer (RANGE BETWEEN, not ROWS — frames are time-bounded so gaps and
@@ -1588,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_fixture": _q_kg_triples_fixture,
         "doc_relations_fixture": _q_doc_relations_fixture,
         "rolling_revenue": _q_rolling_revenue,
+        "percentile_profile": _q_percentile_profile,
         "cube_rollup": _q_cube_rollup,
         "asof_join_events": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
@@ -1642,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_fixture": _KG_TRIPLES_SQL,
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
         "rolling_revenue": _ROLLING_SQL,
+        "percentile_profile": _PERCENTILE_SQL,
         "cube_rollup": _CUBE_SQL,
         "asof_join_events": _ASOF_SQL,
         "repetition_stats": _REPETITION_SQL,

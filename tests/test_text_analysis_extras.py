@@ -131,3 +131,36 @@ def test_bm25_quantization_margin(spark):
         assert math.floor(x) == r["score_bp"]
         frac_gaps.append(min(x % 1, 1 - (x % 1)))
     assert min(frac_gaps) > 1e-6
+
+
+def test_sketch_aggregates_track_exact(spark):
+    """The approximate siblings of percentile_profile — percentile_approx
+    and approx_count_distinct, the 100-TB path where exact sorts/distincts
+    are unaffordable — stay within their documented error bands of the
+    exact aggregates on the fixture events table."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.countDistinct("user_id").alias("nd"),
+        )
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.approx_count_distinct("user_id", 0.02).alias("nd"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx) and len(exact) >= 3
+    for et, e in exact.items():
+        a = approx[et]
+        # percentile_approx returns a real data point near the true rank
+        assert abs(a["p90"] - e["p90"]) <= max(0.05 * abs(e["p90"]), 1e-9)
+        # HLL++ at rsd=0.02: allow 3 sigma
+        assert abs(a["nd"] - e["nd"]) <= max(0.06 * e["nd"], 2)
