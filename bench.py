@@ -45,14 +45,21 @@ def _fixture_pages_dir(n_pages: int) -> Path:
     return write_fixture_parquet(out, n_pages)
 
 
-def run_kg_pipeline(spark, n_pages: int, model_partitions: int | None = None) -> dict:
-    """The flagship KG job: pages parquet -> linked triples; returns counts."""
+def run_kg_pipeline(
+    spark,
+    n_pages: int,
+    model_partitions: int | None = None,
+    extra_cfg: dict | None = None,
+) -> dict:
+    """The flagship KG job: pages parquet -> linked triples; returns counts.
+    extra_cfg: additional PipelineConfig fields (e.g. the broadcast
+    WordPiece tokenizer for the token-ID preprocessing path)."""
     from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
 
     fdir = _fixture_pages_dir(n_pages)
     pages = spark.read.parquet(str(fdir / "pages.parquet"))
     company_dict = spark.read.parquet(str(fdir / "company_dict.parquet"))
-    cfg = PipelineConfig(model_partitions=model_partitions)
+    cfg = PipelineConfig(model_partitions=model_partitions, **(extra_cfg or {}))
     out = run_pipeline(spark, pages, company_dict, cfg)
     n_triples = out["linked_triples"].count()
     return {"n_pages": n_pages, "n_triples": n_triples}
@@ -152,6 +159,33 @@ def bench_default() -> None:
         dt = time.perf_counter() - t0
         kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
     queries["kg_pipeline"] = round(kg_sec, 3)
+
+    # Tokenized variant: the SAME job with the token-ID preprocessing gate
+    # on (WordPiece encode + [E1]/[E2] marker indexing + truncation drop —
+    # the exact input contract a transformer RE head consumes). Measured
+    # separately so the cost of the production-shaped path is visible;
+    # vocab build + broadcast happen OUTSIDE the timer (cluster setup, not
+    # per-batch work).
+    from finance_sc_relations_spark.functions.wordpiece import build_re_tokenizer
+
+    fdir = _fixture_pages_dir(BENCH_PAGES)
+    sample_texts = [
+        r["text"]
+        for r in spark.read.parquet(str(fdir / "pages.parquet"))
+        .select("text").limit(2000).collect()
+    ]
+    tok_bc = spark.sparkContext.broadcast(
+        build_re_tokenizer(sample_texts, vocab_size=8000, min_freq=2)
+    )
+    tok_cfg = {"re_tokenizer_broadcast": tok_bc, "re_max_length": 256}
+    run_kg_pipeline(spark, 1000, extra_cfg=tok_cfg)
+    tk_sec = None
+    for _ in range(min(repeats, 2)):
+        t0 = time.perf_counter()
+        tk = run_kg_pipeline(spark, BENCH_PAGES, extra_cfg=tok_cfg)
+        dt = time.perf_counter() - t0
+        tk_sec = dt if tk_sec is None or dt < tk_sec else tk_sec
+    queries["kg_pipeline_tokenized"] = round(tk_sec, 3)
 
     # Graph family wall times at sf0.01 (separate small-scale section, NOT
     # in the suite total): khop_2/pagerank/dedup_clusters are oracle-checked

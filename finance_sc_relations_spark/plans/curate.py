@@ -108,3 +108,89 @@ def curate_corpus(
         )
         cur = persisted[-1][1]
     return {"curated": cur, "report": report, "cached": cached}
+
+
+def run_curation_checkpointed(
+    spark,
+    docs_path: str,
+    checkpoint_root,
+    eval_texts_path: str | None = None,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    decontaminate_n: int = 13,
+    run_id: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_params,
+) -> dict:
+    """The resumable form of curate_corpus: every gate materializes through
+    the same CheckpointManager the KG pipeline uses (stage tables +
+    manifests + per-partition `_lineage` rows). Killing the job between
+    stages and rerunning with the same checkpoint_root resumes after the
+    last completed stage and yields byte-identical survivor tables;
+    regenerating the input in place (same path, new content) invalidates
+    every stage via the per-file (relpath, size, mtime_ns) fingerprint.
+
+    The per-stage survivor counts the eager report mode computes ad hoc are
+    here exactly the `_lineage` output_rows column — counting falls out of
+    checkpointing instead of costing extra actions.
+
+    Returns {"curated", "lineage", "run_id", "manager"}."""
+    from .checkpoint import CheckpointManager, _input_signature
+
+    ckpt = CheckpointManager(spark, checkpoint_root, run_id=run_id)
+    fp = (
+        f"{docs_path}|{eval_texts_path}|{lang}|{min_quality}"
+        f"|{decontaminate_n}|{sorted(minhash_params.items())}"
+        f"|{_input_signature(docs_path)}"
+    )
+    if eval_texts_path is not None:
+        fp += f"|{_input_signature(eval_texts_path)}"
+
+    from ..operators.text_stats import lang_id, quality_score_col
+
+    docs = spark.read.parquet(docs_path)
+    n_input = docs.count()
+
+    def _lang():
+        kept = lang_id(docs, text_col=text_col, id_col=id_col).filter(
+            F.col("detected_lang") == lang
+        )
+        return docs.join(kept.select(id_col), id_col, "left_semi")
+
+    s_lang = ckpt.run_stage("curate_lang", _lang, fp, input_rows=n_input)
+    s_quality = ckpt.run_stage(
+        "curate_quality",
+        lambda: s_lang.filter(quality_score_col(text_col) >= min_quality),
+        fp,
+    )
+    s_exact = ckpt.run_stage(
+        "curate_exact_dedup",
+        lambda: exact_dedup(s_quality, text_col=text_col, id_col=id_col),
+        fp,
+    )
+
+    def _near_dup():
+        clusters = near_dup_clusters(s_exact, id_col=id_col, **minhash_params)
+        return s_exact.join(
+            clusters.filter(F.col("is_canonical")).select(id_col),
+            id_col,
+            "left_semi",
+        )
+
+    cur = ckpt.run_stage("curate_near_dup", _near_dup, fp)
+    if eval_texts_path is not None:
+        evals = spark.read.parquet(eval_texts_path)
+        cur = ckpt.run_stage(
+            "curate_decontaminate",
+            lambda: decontaminate(
+                cur, evals, n=decontaminate_n, text_col=text_col, id_col=id_col
+            ),
+            fp,
+        )
+    return {
+        "curated": cur,
+        "lineage": ckpt.lineage(),
+        "run_id": ckpt.run_id,
+        "manager": ckpt,
+    }

@@ -132,3 +132,51 @@ def test_in_place_input_regeneration_invalidates(spark, tmp_path):
     out2 = run_pipeline_checkpointed(spark, pages_path, cd_path, ckpt_root)
     n2 = out2["linked_triples"].count()
     assert n2 > n1  # recomputed from the new input, not stale
+
+
+def test_curation_checkpoint_resume_and_invalidation(spark, tmp_path):
+    """Resumable curation: second run with the same root recomputes nothing
+    (manifests keep the first run's run_id), survivors match the eager
+    curate_corpus, per-stage survivor counts ride the _lineage table, and
+    an in-place input rewrite invalidates every stage."""
+    import json
+
+    from finance_sc_relations_spark.plans.curate import (
+        curate_corpus,
+        run_curation_checkpointed,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(120)
+    )
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    root = tmp_path / "ckpt"
+
+    out1 = run_curation_checkpointed(spark, docs_path, root)
+    got1 = sorted(r["doc_id"] for r in out1["curated"].collect())
+
+    eager = curate_corpus(spark.read.parquet(docs_path))
+    assert got1 == sorted(r["doc_id"] for r in eager["curated"].collect())
+
+    # lineage has one stage row-group per gate with survivor counts
+    lin = out1["lineage"].toPandas()
+    stages = set(lin["stage"])
+    assert {"curate_lang", "curate_quality", "curate_exact_dedup",
+            "curate_near_dup"} <= stages
+
+    # resume: new run, same root -> stages read back, manifests untouched
+    out2 = run_curation_checkpointed(spark, docs_path, root)
+    assert sorted(r["doc_id"] for r in out2["curated"].collect()) == got1
+    m = json.loads((root / "curate_near_dup" / "_MANIFEST.json").read_text())
+    assert m["run_id"] == out1["run_id"]  # not rewritten by run 2
+
+    # in-place input rewrite -> fingerprint changes -> stages recompute
+    spark.read.parquet(docs_path).limit(60).write.mode("overwrite").parquet(
+        docs_path
+    )
+    out3 = run_curation_checkpointed(spark, docs_path, root)
+    m3 = json.loads((root / "curate_near_dup" / "_MANIFEST.json").read_text())
+    assert m3["run_id"] == out3["run_id"] != out1["run_id"]
+    assert out3["curated"].count() <= 60
