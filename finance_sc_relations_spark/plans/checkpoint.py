@@ -178,6 +178,44 @@ def _input_signature(path: str) -> str:
     return h.hexdigest()
 
 
+def _cfg_signature(cfg) -> str:
+    """Stable content signature of a PipelineConfig for the resume
+    fingerprint. The raw dataclass repr would embed object addresses for
+    the broadcast fields (different every process -> a tokenizer- or
+    model-carrying run could never resume), so those are replaced by
+    CONTENT keys: the model checkpoint id for re_model_broadcast, a hash
+    of the tokenizer vocab for re_tokenizer_broadcast, and a constant for
+    the dropped-rows accumulator (its identity does not affect results —
+    note that on a resumed run the accumulator only receives counts from
+    stages that actually re-execute; historical drop counts live in the
+    _lineage table)."""
+    import hashlib
+    from dataclasses import fields
+
+    parts = []
+    for f in fields(cfg):
+        v = getattr(cfg, f.name)
+        if f.name == "re_model_broadcast":
+            try:
+                v = None if v is None else f"model_id:{v.value[0]}"
+            except Exception:
+                v = "set"
+        elif f.name == "re_tokenizer_broadcast":
+            try:
+                if v is not None:
+                    h = hashlib.blake2b(
+                        repr(sorted(v.value.vocab.items())).encode(),
+                        digest_size=8,
+                    ).hexdigest()
+                    v = f"vocab:{h}"
+            except Exception:
+                v = "set"
+        elif f.name == "re_dropped_acc":
+            v = None if v is None else "acc"
+        parts.append(f"{f.name}={v!r}")
+    return ";".join(parts)
+
+
 def run_pipeline_checkpointed(
     spark: SparkSession,
     pages_path: str,
@@ -208,7 +246,7 @@ def run_pipeline_checkpointed(
     cfg = config or PipelineConfig()
     ckpt = CheckpointManager(spark, checkpoint_root, run_id=run_id)
     fp = (
-        f"{pages_path}|{company_dict_path}|{cfg!r}"
+        f"{pages_path}|{company_dict_path}|{_cfg_signature(cfg)}"
         f"|{_input_signature(pages_path)}|{_input_signature(company_dict_path)}"
     )
 
@@ -275,6 +313,12 @@ def run_pipeline_checkpointed(
             ),
             mutate=cfg.mutate,
             reverse=cfg.reverse,
+            model_partitions=cfg.model_partitions,
+            model_broadcast=cfg.re_model_broadcast,
+            model_path=cfg.re_model_path,
+            tokenizer_broadcast=cfg.re_tokenizer_broadcast,
+            max_length=cfg.re_max_length,
+            dropped_acc=cfg.re_dropped_acc,
         ),
         fp,
         input_rows=_rows("pairs"),

@@ -180,3 +180,60 @@ def test_curation_checkpoint_resume_and_invalidation(spark, tmp_path):
     m3 = json.loads((root / "curate_near_dup" / "_MANIFEST.json").read_text())
     assert m3["run_id"] == out3["run_id"] != out1["run_id"]
     assert out3["curated"].count() <= 60
+
+
+def test_checkpointed_pipeline_tokenizer_seam_and_stable_fp(spark, tmp_path, fixture_corpus):
+    """The checkpointed runner honors the token-ID config (same triples as
+    the eager run under the same gate) and the resume fingerprint is
+    STABLE across processes even though a broadcast tokenizer rides the
+    config: two invocations with two different broadcast objects carrying
+    the same vocab resume instead of recomputing."""
+    import json
+
+    from finance_sc_relations_spark.functions.wordpiece import build_re_tokenizer
+    from finance_sc_relations_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    pages_pdf, _, companies_pdf = fixture_corpus
+    pages = spark.createDataFrame(pages_pdf.head(30))
+    cd = spark.createDataFrame(companies_pdf)
+    pages_path = str(tmp_path / "pages.parquet")
+    cd_path = str(tmp_path / "cd.parquet")
+    pages.write.parquet(pages_path)
+    cd.write.parquet(cd_path)
+
+    vocab_src = [r for r in pages_pdf.head(30)["text"]]
+    tok1 = build_re_tokenizer(vocab_src, vocab_size=4000, min_freq=1)
+
+    def cfg_with(tok):
+        return PipelineConfig(
+            re_tokenizer_broadcast=spark.sparkContext.broadcast(tok),
+            re_max_length=512,
+        )
+
+    root = tmp_path / "ckpt"
+    out1 = run_pipeline_checkpointed(spark, pages_path, cd_path, root,
+                                     config=cfg_with(tok1))
+    got = sorted(map(tuple, out1["linked_triples"]
+                 .select("sentence_id", "subj_id", "obj_id").distinct().collect()))
+
+    eager = run_pipeline(spark, spark.read.parquet(pages_path),
+                         spark.read.parquet(cd_path), cfg_with(tok1))
+    want = sorted(map(tuple, eager["linked_triples"]
+                  .select("sentence_id", "subj_id", "obj_id").distinct().collect()))
+    assert got == want and len(got) > 0
+
+    # a NEW broadcast of the SAME vocab -> fingerprint unchanged -> resume
+    m1 = json.loads((root / "classified" / "_MANIFEST.json").read_text())
+    tok2 = build_re_tokenizer(vocab_src, vocab_size=4000, min_freq=1)
+    run_pipeline_checkpointed(spark, pages_path, cd_path, root,
+                              config=cfg_with(tok2))
+    m2 = json.loads((root / "classified" / "_MANIFEST.json").read_text())
+    assert m2["run_id"] == m1["run_id"]  # stage was read back, not rerun
+
+    # a DIFFERENT vocab -> fingerprint changes -> stage recomputes
+    tok3 = build_re_tokenizer(vocab_src + ["extra vocabulary entry"],
+                              vocab_size=4000, min_freq=1)
+    out3 = run_pipeline_checkpointed(spark, pages_path, cd_path, root,
+                                     config=cfg_with(tok3))
+    m3 = json.loads((root / "classified" / "_MANIFEST.json").read_text())
+    assert m3["run_id"] != m1["run_id"]
