@@ -88,3 +88,34 @@ def test_salted_agg_is_two_phase(spark):
     plan = _plan(df)
     # two HashAggregate pairs: (partial+final) x two groupBys
     assert plan.count("HashAggregate") >= 4
+
+
+def test_duplicate_spans_shuffles_fingerprints_not_strings(spark):
+    """The duplicate-substring plan must never shuffle gram STRINGS: the
+    window rows reaching the exchanges carry only (doc_id, pos, h1, h2) —
+    the 128-bit fingerprint pair — and the gaps-and-islands merge adds
+    exactly one more shuffle (on doc_id)."""
+    from finance_sc_relations_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(duplicate_spans(docs, n=13))
+    # every Exchange's projection is fingerprint/positional columns only
+    for chunk in plan.split("Exchange ")[1:]:
+        head = chunk[:160]
+        assert "gram" not in head, head
+    # no cartesian/broadcast-nested-loop anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_stats_ride_a_broadcast(spark):
+    """bm25's N/avgdl 1-row frame must join as a broadcast (no shuffle of
+    the tf table against a single-row side), and tf/df/dl aggregates are
+    two-phase (map-side partial before the exchange)."""
+    from finance_sc_relations_spark.operators.text_stats import bm25_top_terms
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bm25_top_terms(docs, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per aggregate
