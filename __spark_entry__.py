@@ -1516,6 +1516,46 @@ GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 
 
 
+def _q_kg_negatives(spark, sf_dir):
+    """Filtered negative sampling (operators/negatives.py) over the supply
+    graph: corrupt one side of each positive edge with a deterministic
+    blake2b-seeded replacement from a bounded content-keyed entity pool,
+    then anti-join the candidates against the true triple set (the
+    Bordes et al. 'filtered setting'). Oracle: the whole sampling chain
+    recomputed in plain pandas + hashlib from DuckDB-read edges
+    (scripts/gen_expected.py::gen_kg_negatives — same published formulas,
+    independent code, no Spark anywhere)."""
+    from finance_sc_relations_spark.operators.negatives import (
+        kg_negative_samples,
+    )
+
+    e = _supply_edges(spark, sf_dir).select(
+        F.concat(F.lit("s"), F.col("subj_id")).alias("subj_id"),
+        F.concat(F.lit("c"), F.col("obj_id")).alias("obj_id"),
+    )
+    triples = e.select(
+        F.concat_ws("_", "subj_id", "obj_id").alias("r_id"),
+        "subj_id",
+        F.lit("supplies_to").alias("pred"),
+        "obj_id",
+    )
+    out = kg_negative_samples(triples, k=2, max_pool=500, seed=42)
+    return out.select(
+        "r_id",
+        F.col("neg_idx").cast("long").alias("neg_idx"),
+        "subj_id",
+        "pred",
+        "obj_id",
+        "corrupted",
+    )
+
+
+_KG_NEGATIVES_SQL = f"""
+SELECT r_id, neg_idx, subj_id, pred, obj_id, corrupted
+FROM read_parquet('{_EXPECTED_DIR}/kg_negatives.parquet')
+"""
+
+
 def _q_percentile_profile(spark, sf_dir):
     """Exact per-group percentiles (p50/p90/p99 of event value per
     event_type) via Spark's exact `percentile` aggregate — the
@@ -1625,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_relations_fixture": _q_doc_relations_fixture,
         "rolling_revenue": _q_rolling_revenue,
         "percentile_profile": _q_percentile_profile,
+        "kg_negatives": _q_kg_negatives,
         "cube_rollup": _q_cube_rollup,
         "asof_join_events": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
@@ -1680,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_relations_fixture": _DOC_RELATIONS_SQL,
         "rolling_revenue": _ROLLING_SQL,
         "percentile_profile": _PERCENTILE_SQL,
+        "kg_negatives": _KG_NEGATIVES_SQL,
         "cube_rollup": _CUBE_SQL,
         "asof_join_events": _ASOF_SQL,
         "repetition_stats": _REPETITION_SQL,

@@ -683,10 +683,55 @@ def main() -> None:
         "dedup_clusters": gen_dedup_clusters(),
         "doc_relations": gen_doc_relations(),
         "curation_survivors": gen_curation(),
+        "kg_negatives": gen_kg_negatives(),
     }
     for name, df in tables.items():
         df.to_parquet(OUT / f"{name}.parquet", index=False)
         print(f"{name}: {len(df)} rows -> {OUT / (name + '.parquet')}")
+
+
+
+
+def gen_kg_negatives(k=2, max_pool=500, seed=42) -> pd.DataFrame:
+    """Filtered negative sampling replicated in plain pandas + hashlib from
+    DuckDB-read supply edges — same PUBLISHED formulas as
+    operators/negatives.py (blake2b side/replacement draws, content-keyed
+    pool, filtered anti-membership), independently written (no Spark)."""
+    edges = duckdb.sql(f"""
+        SELECT DISTINCT 's' || l.l_suppkey AS s, 'c' || o.o_custkey AS o
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF}/supplier.parquet' sup ON l.l_suppkey = sup.s_suppkey
+    """).df()
+
+    def h64(*parts):
+        return int.from_bytes(
+            hashlib.blake2b("|".join(parts).encode(), digest_size=8).digest(),
+            "big",
+        )
+
+    ents = sorted(set(edges.s) | set(edges.o))
+    pool = sorted(ents, key=lambda e: (h64(e, str(seed)) % (1 << 62), e))[:max_pool]
+    true = {(s, "supplies_to", o) for s, o in zip(edges.s, edges.o)}
+    rows = []
+    for s, o in zip(edges.s, edges.o):
+        r_id = f"{s}_{o}"
+        for j in range(k):
+            side = "subj" if h64(r_id, str(j), "side") % 2 == 0 else "obj"
+            repl = pool[h64(r_id, str(j), "ent") % len(pool)]
+            ns, no = (repl, o) if side == "subj" else (s, repl)
+            if side == "subj" and repl == s:
+                continue
+            if side == "obj" and repl == o:
+                continue
+            if (ns, "supplies_to", no) in true:
+                continue
+            rows.append((r_id, j, ns, "supplies_to", no, side))
+    return pd.DataFrame(
+        rows,
+        columns=["r_id", "neg_idx", "subj_id", "pred", "obj_id", "corrupted"],
+    ).astype({"neg_idx": "int64"})
 
 
 if __name__ == "__main__":

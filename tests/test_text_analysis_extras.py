@@ -164,3 +164,44 @@ def test_sketch_aggregates_track_exact(spark):
         assert abs(a["p90"] - e["p90"]) <= max(0.05 * abs(e["p90"]), 1e-9)
         # HLL++ at rsd=0.02: allow 3 sigma
         assert abs(a["nd"] - e["nd"]) <= max(0.06 * e["nd"], 2)
+
+
+def test_kg_negative_samples_filtered_setting(spark):
+    from finance_sc_relations_spark.operators.negatives import (
+        entity_pool,
+        kg_negative_samples,
+    )
+
+    triples = spark.createDataFrame(
+        [
+            ("r0", "a", "supplies_to", "b"),
+            ("r1", "b", "supplies_to", "c"),
+            ("r2", "c", "supplies_to", "d"),
+            ("r3", "d", "supplies_to", "a"),
+        ],
+        "r_id string, subj_id string, pred string, obj_id string",
+    )
+    out = kg_negative_samples(triples, k=4, max_pool=10).collect()
+    assert len(out) > 0
+    true = {("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")}
+    for r in out:
+        # filtered setting: no emitted negative is a true triple
+        assert (r["subj_id"], r["obj_id"]) not in true
+        # exactly one side was corrupted, consistent with the marker
+        orig = {"r0": ("a", "b"), "r1": ("b", "c"),
+                "r2": ("c", "d"), "r3": ("d", "a")}[r["r_id"]]
+        if r["corrupted"] == "subj":
+            assert r["obj_id"] == orig[1] and r["subj_id"] != orig[0]
+        else:
+            assert r["subj_id"] == orig[0] and r["obj_id"] != orig[1]
+    # at most k per positive, deterministic across runs
+    import collections
+
+    per = collections.Counter(r["r_id"] for r in out)
+    assert all(v <= 4 for v in per.values())
+    again = kg_negative_samples(triples, k=4, max_pool=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # pool is content-keyed and hard-bounded
+    pool = entity_pool(triples, max_pool=3)
+    assert len(pool) == 3 and pool == entity_pool(triples, max_pool=3)
