@@ -1516,6 +1516,66 @@ GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
 
 
 
+def _q_cut_duplicate_spans(spark, sf_dir):
+    """Span surgery (operators/dedup.py::cut_duplicate_spans): duplicated
+    passages removed from every doc's (tokenized, lowercased) text instead
+    of dropping whole docs — the RefinedWeb boilerplate-removal form. Live
+    DuckDB oracle: the duplicate-span algebra as a CTE, then the cut via
+    nested list lambdas with an outer index capture."""
+    from finance_sc_relations_spark.operators.dedup import cut_duplicate_spans
+
+    return cut_duplicate_spans(_t(spark, sf_dir, "documents"), n=13)
+
+
+_CUT_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> length(t) > 0) AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(tk) - 13 + 1),
+                i -> {'pos': i, 'gram': array_to_string(tk[i+1:i+13], ' ')})) AS w
+  FROM toks WHERE len(tk) >= 13
+), wf AS (
+  SELECT doc_id, w.pos AS pos, w.gram AS gram FROM wins
+), dup AS (
+  SELECT gram FROM wf GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dw AS (
+  SELECT wf.doc_id, wf.pos FROM wf JOIN dup USING (gram)
+), flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 13
+              THEN 1 ELSE 0 END AS brk
+  FROM dw
+), grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM flag
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 13 AS e
+  FROM grp GROUP BY doc_id, g
+), sp AS (
+  SELECT doc_id, list({'s': s, 'e': e}) AS sp FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       -- coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+       coalesce(
+         CASE WHEN sp.sp IS NULL THEN array_to_string(t.tk, ' ')
+              ELSE array_to_string(
+                list_filter(
+                  list_transform(range(0, len(t.tk)),
+                    i -> CASE WHEN len(list_filter(sp.sp,
+                                     s -> i >= s.s AND i < s.e)) = 0
+                              THEN t.tk[i+1] ELSE NULL END),
+                  x -> x IS NOT NULL),
+                ' ') END, '') AS clean_text
+FROM toks t LEFT JOIN sp ON t.doc_id = sp.doc_id
+"""
+
+
 def _q_kg_negatives(spark, sf_dir):
     """Filtered negative sampling (operators/negatives.py) over the supply
     graph: corrupt one side of each positive edge with a deterministic
@@ -1666,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_revenue": _q_rolling_revenue,
         "percentile_profile": _q_percentile_profile,
         "kg_negatives": _q_kg_negatives,
+        "cut_duplicate_spans": _q_cut_duplicate_spans,
         "cube_rollup": _q_cube_rollup,
         "asof_join_events": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
@@ -1722,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_revenue": _ROLLING_SQL,
         "percentile_profile": _PERCENTILE_SQL,
         "kg_negatives": _KG_NEGATIVES_SQL,
+        "cut_duplicate_spans": _CUT_SPANS_SQL,
         "cube_rollup": _CUBE_SQL,
         "asof_join_events": _ASOF_SQL,
         "repetition_stats": _REPETITION_SQL,

@@ -636,3 +636,61 @@ def decontaminate(
         .distinct()
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    n: int = 13,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span SURGERY over duplicate_spans: remove every duplicated passage
+    from every document's text instead of dropping whole documents — the
+    RefinedWeb/C4 boilerplate-removal form (whole-doc dedup keeps one copy
+    of a press release; this also strips the copy embedded inside
+    otherwise-unique pages).
+
+    Output: (id_col, clean_text) for ALL input docs; clean_text is the
+    document with duplicated token ranges removed, whitespace-normalized
+    (tokens re-joined by single spaces — the same tokenization the span
+    detector used, so offsets line up exactly). Docs with no duplicated
+    span pass through with only whitespace normalization.
+
+    Stays entirely JVM-side: spans collect_list per doc (bounded: spans
+    are maximal, disjoint), one left join, and the cut itself is nested
+    higher-order array functions (filter + exists with an outer index
+    capture) — no Python in the path."""
+    spans = duplicate_spans(
+        docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    ).withColumnRenamed("doc_id", "_span_doc")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda p: ~F.exists(
+            "_spans",
+            lambda s: (p.getField("i") >= s.getField("span_start"))
+            & (p.getField("i") < s.getField("span_end")),
+        ),
+    )
+    return (
+        docs.join(per_doc, docs[id_col] == per_doc["_span_doc"], "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_spans").isNull(), F.concat_ws(" ", toks)
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda p: p.getField("t"))
+                )
+            )
+            .alias("clean_text"),
+        )
+    )

@@ -205,3 +205,27 @@ def test_kg_negative_samples_filtered_setting(spark):
     # pool is content-keyed and hard-bounded
     pool = entity_pool(triples, max_pool=3)
     assert len(pool) == 3 and pool == entity_pool(triples, max_pool=3)
+
+
+def test_cut_duplicate_spans_surgery(spark):
+    from finance_sc_relations_spark.operators.dedup import cut_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc SHARED ONE TWO THREE FOUR FIVE zz"),
+            (1, "SHARED ONE TWO THREE FOUR FIVE yy ww"),
+            (2, "Totally  Unique   text here"),
+            (3, "SHARED ONE TWO THREE FOUR FIVE"),  # fully duplicated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in cut_duplicate_spans(docs, n=3).collect()}
+    # duplicated passage removed, surrounding unique text survives
+    assert out[0] == "aa bb cc zz"
+    assert out[1] == "yy ww"
+    # untouched doc passes through tokenization-normalized (lowercased,
+    # single spaces — the same view the span detector indexed)
+    assert out[2] == "totally unique text here"
+    # a fully-duplicated doc cuts to the empty string
+    assert out[3] == ""
