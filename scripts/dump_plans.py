@@ -19,7 +19,8 @@ SHOW = [
     "clean_text", "word_jaccard_pairs", "embedding_near_dups", "khop_2",
     "sessionize", "asof_join_events", "cube_rollup", "rolling_revenue",
     "triangle_count", "token_cooccurrence",
-    "duplicate_spans", "bm25_top_terms",
+    "duplicate_spans", "bm25_top_terms", "percentile_profile",
+    "kg_negatives", "cut_duplicate_spans",
 ]
 
 
