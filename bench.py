@@ -180,6 +180,7 @@ def bench_default() -> None:
     tok_cfg = {"re_tokenizer_broadcast": tok_bc, "re_max_length": 256}
     run_kg_pipeline(spark, 1000, extra_cfg=tok_cfg)
     tk_sec = None
+    tk = None
     for _ in range(min(repeats, 2)):
         t0 = time.perf_counter()
         tk = run_kg_pipeline(spark, BENCH_PAGES, extra_cfg=tok_cfg)
@@ -217,6 +218,12 @@ def bench_default() -> None:
                 "queries_graph_sf001": graph_queries,
                 "kg_triples_per_sec": round(kg["n_triples"] / kg_sec, 2),
                 "kg_pages_per_sec": round(kg["n_pages"] / kg_sec, 2),
+                # tokenized-path volume: shows how many triples the
+                # max_length=256 truncation gate drops vs the plain path
+                "kg_tokenized_triples": tk["n_triples"],
+                "kg_tokenized_triples_per_sec": round(
+                    tk["n_triples"] / tk_sec, 2
+                ),
                 "cpus": CPUS,
                 "methodology": (
                     (

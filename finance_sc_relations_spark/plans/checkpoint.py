@@ -183,7 +183,8 @@ def _cfg_signature(cfg) -> str:
     fingerprint. The raw dataclass repr would embed object addresses for
     the broadcast fields (different every process -> a tokenizer- or
     model-carrying run could never resume), so those are replaced by
-    CONTENT keys: the model checkpoint id for re_model_broadcast, a hash
+    CONTENT keys: the model checkpoint id PLUS payload hash for
+    re_model_broadcast (a retrained model under the same id invalidates), a hash
     of the tokenizer vocab for re_tokenizer_broadcast, and a constant for
     the dropped-rows accumulator (its identity does not affect results —
     note that on a resumed run the accumulator only receives counts from
@@ -196,10 +197,16 @@ def _cfg_signature(cfg) -> str:
     for f in fields(cfg):
         v = getattr(cfg, f.name)
         if f.name == "re_model_broadcast":
+            # key on id AND payload bytes: a retrained model broadcast
+            # under the same id must invalidate, not silently resume
             try:
-                v = None if v is None else f"model_id:{v.value[0]}"
+                if v is not None:
+                    mid, payload = v.value
+                    ph = hashlib.blake2b(payload, digest_size=8).hexdigest()
+                    v = f"model:{mid}:{ph}"
             except Exception:
-                v = "set"
+                # unidentifiable broadcast: never resume against it
+                v = f"opaque:{uuid.uuid4().hex}"
         elif f.name == "re_tokenizer_broadcast":
             try:
                 if v is not None:

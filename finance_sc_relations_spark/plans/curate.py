@@ -26,6 +26,48 @@ from ..operators.dedup import decontaminate, exact_dedup, near_dup_clusters
 from ..operators.text_stats import lang_id, quality_score_col
 
 
+def _gate_lang(docs, *, lang, id_col, text_col, **_):
+    kept = lang_id(docs, text_col=text_col, id_col=id_col).filter(
+        F.col("detected_lang") == lang
+    )
+    return docs.join(kept.select(id_col), id_col, "left_semi")
+
+
+def _gate_quality(prev, *, min_quality, text_col, **_):
+    return prev.filter(quality_score_col(text_col) >= min_quality)
+
+
+def _gate_exact_dedup(prev, *, id_col, text_col, **_):
+    return exact_dedup(prev, text_col=text_col, id_col=id_col)
+
+
+def _gate_near_dup(prev, *, id_col, minhash_params, **_):
+    clusters = near_dup_clusters(prev, id_col=id_col, **minhash_params)
+    return prev.join(
+        clusters.filter(F.col("is_canonical")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+
+def _gate_decontaminate(prev, *, eval_texts, decontaminate_n, id_col,
+                        text_col, **_):
+    return decontaminate(
+        prev, eval_texts, n=decontaminate_n, text_col=text_col, id_col=id_col
+    )
+
+
+# ONE ordered gate list consumed by BOTH the eager and the checkpointed
+# runner — the same single-copy rationale as operators/cc.py: a gate
+# changed in one runner must not silently diverge from its twin.
+CURATION_GATES = [
+    ("lang", _gate_lang),
+    ("quality", _gate_quality),
+    ("exact_dedup", _gate_exact_dedup),
+    ("near_dup", _gate_near_dup),
+]
+
+
 def curate_corpus(
     docs: DataFrame,
     eval_texts: DataFrame | None = None,
@@ -50,39 +92,30 @@ def curate_corpus(
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cached: list[DataFrame] = []
-
-    kept_lang = lang_id(docs, text_col=text_col, id_col=id_col).filter(
-        F.col("detected_lang") == lang
+    params = dict(
+        lang=lang, min_quality=min_quality, decontaminate_n=decontaminate_n,
+        id_col=id_col, text_col=text_col, minhash_params=minhash_params,
+        eval_texts=eval_texts,
     )
-    cur = docs.join(kept_lang.select(id_col), id_col, "left_semi")
-    stages.append(("lang", cur))
 
-    cur = cur.filter(quality_score_col(text_col) >= min_quality)
-    stages.append(("quality", cur))
-
-    # Branch point: the deduped frame feeds the MinHash signature pass AND
-    # the canonical semi-join (and, transitively, decontaminate's two
-    # consumers) — without the persist the lang/quality/window chain above
-    # re-executes once per consumer. Bounded: survivors only.
-    cur = exact_dedup(cur, text_col=text_col, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cached.append(cur)
-    stages.append(("exact_dedup", cur))
-
-    clusters = near_dup_clusters(cur, id_col=id_col, **minhash_params)
-    cur = cur.join(
-        clusters.filter(F.col("is_canonical")).select(id_col), id_col, "left_semi"
-    )
-    stages.append(("near_dup", cur))
+    cur = docs
+    for name, gate in CURATION_GATES:
+        cur = gate(cur, **params)
+        if name == "exact_dedup":
+            # Branch point: the deduped frame feeds the MinHash signature
+            # pass AND the canonical semi-join (and, transitively,
+            # decontaminate's two consumers) — without the persist the
+            # lang/quality/window chain above re-executes once per
+            # consumer. Bounded: survivors only.
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.append(cur)
+        stages.append((name, cur))
 
     if eval_texts is not None:
         # decontaminate consumes its input twice (gram explode + anti-join)
         cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         cached.append(cur)
-        cur = decontaminate(
-            cur, eval_texts, n=decontaminate_n, text_col=text_col, id_col=id_col
-        )
+        cur = _gate_decontaminate(cur, **params)
         stages.append(("decontaminate", cur))
 
     report = None
@@ -139,53 +172,52 @@ def run_curation_checkpointed(
     from .checkpoint import CheckpointManager, _input_signature
 
     ckpt = CheckpointManager(spark, checkpoint_root, run_id=run_id)
+    # EVERY result-affecting parameter folds into the fingerprint —
+    # including id_col/text_col (a rerun against different columns must
+    # recompute, not resume stages gated on the old columns).
     fp = (
         f"{docs_path}|{eval_texts_path}|{lang}|{min_quality}"
-        f"|{decontaminate_n}|{sorted(minhash_params.items())}"
+        f"|{decontaminate_n}|{id_col}|{text_col}"
+        f"|{sorted(minhash_params.items())}"
         f"|{_input_signature(docs_path)}"
     )
     if eval_texts_path is not None:
         fp += f"|{_input_signature(eval_texts_path)}"
 
-    from ..operators.text_stats import lang_id, quality_score_col
-
     docs = spark.read.parquet(docs_path)
-    n_input = docs.count()
-
-    def _lang():
-        kept = lang_id(docs, text_col=text_col, id_col=id_col).filter(
-            F.col("detected_lang") == lang
-        )
-        return docs.join(kept.select(id_col), id_col, "left_semi")
-
-    s_lang = ckpt.run_stage("curate_lang", _lang, fp, input_rows=n_input)
-    s_quality = ckpt.run_stage(
-        "curate_quality",
-        lambda: s_lang.filter(quality_score_col(text_col) >= min_quality),
-        fp,
+    eval_texts = (
+        spark.read.parquet(eval_texts_path)
+        if eval_texts_path is not None
+        else None
     )
-    s_exact = ckpt.run_stage(
-        "curate_exact_dedup",
-        lambda: exact_dedup(s_quality, text_col=text_col, id_col=id_col),
-        fp,
+    params = dict(
+        lang=lang, min_quality=min_quality, decontaminate_n=decontaminate_n,
+        id_col=id_col, text_col=text_col, minhash_params=minhash_params,
+        eval_texts=eval_texts,
+    )
+    # Lineage input_rows for the first stage: counting the raw corpus is a
+    # full scan, so it happens ONLY when that stage actually runs — a
+    # fully-resumed rerun pays no input pass at all.
+    n_input = (
+        docs.count()
+        if not ckpt.is_complete("curate_lang", fp)
+        else -1
     )
 
-    def _near_dup():
-        clusters = near_dup_clusters(s_exact, id_col=id_col, **minhash_params)
-        return s_exact.join(
-            clusters.filter(F.col("is_canonical")).select(id_col),
-            id_col,
-            "left_semi",
+    cur = docs
+    for name, gate in CURATION_GATES:
+        prev = cur
+        cur = ckpt.run_stage(
+            f"curate_{name}",
+            lambda g=gate, p=prev: g(p, **params),
+            fp,
+            input_rows=n_input if name == "lang" else None,
         )
-
-    cur = ckpt.run_stage("curate_near_dup", _near_dup, fp)
     if eval_texts_path is not None:
-        evals = spark.read.parquet(eval_texts_path)
+        prev = cur
         cur = ckpt.run_stage(
             "curate_decontaminate",
-            lambda: decontaminate(
-                cur, evals, n=decontaminate_n, text_col=text_col, id_col=id_col
-            ),
+            lambda p=prev: _gate_decontaminate(p, **params),
             fp,
         )
     return {

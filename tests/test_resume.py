@@ -237,3 +237,30 @@ def test_checkpointed_pipeline_tokenizer_seam_and_stable_fp(spark, tmp_path, fix
                                      config=cfg_with(tok3))
     m3 = json.loads((root / "classified" / "_MANIFEST.json").read_text())
     assert m3["run_id"] != m1["run_id"]
+
+
+def test_cfg_signature_model_content_keys(spark):
+    """The resume fingerprint keys broadcast models on id AND payload: a
+    retrained model under the same id invalidates; a re-broadcast of the
+    identical payload resumes; an accumulator's identity never matters."""
+    from finance_sc_relations_spark.operators.models import (
+        ConstantModel,
+        serialize_model,
+    )
+    from finance_sc_relations_spark.plans.checkpoint import _cfg_signature
+    from finance_sc_relations_spark.plans.pipeline import PipelineConfig
+
+    sc = spark.sparkContext
+    m1 = serialize_model("re_head", ConstantModel([0.8, 0.1, 0.1]))
+    m1_again = serialize_model("re_head", ConstantModel([0.8, 0.1, 0.1]))
+    m2 = serialize_model("re_head", ConstantModel([0.1, 0.8, 0.1]))  # retrained
+
+    sig = lambda m: _cfg_signature(
+        PipelineConfig(re_model_broadcast=sc.broadcast(m))
+    )
+    assert sig(m1) == sig(m1_again)   # same content -> resume
+    assert sig(m1) != sig(m2)         # same id, new weights -> invalidate
+
+    a1 = _cfg_signature(PipelineConfig(re_dropped_acc=sc.accumulator(0)))
+    a2 = _cfg_signature(PipelineConfig(re_dropped_acc=sc.accumulator(0)))
+    assert a1 == a2
