@@ -122,6 +122,7 @@ def bench_default() -> None:
         "asof_join_events", "cube_rollup", "rolling_revenue",
         "sessionize", "triangle_count", "token_cooccurrence",
         "duplicate_spans", "bm25_top_terms", "percentile_profile",
+        "cut_duplicate_spans", "kg_negatives",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
     # curation persists its branch points per call: best-of-2 keeps the
