@@ -115,6 +115,28 @@ def company_universe() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def linking_probe_surfaces(companies: pd.DataFrame) -> List[str]:
+    """Deterministic probe surfaces for the linked_mentions entity-linking
+    oracle: every canonical name and alias (the exact tier), a
+    suffix-mangled fuzzy variant per 3+-word company (same prefix2 block
+    and same 5-char sort prefix, so it exercises the L5 second-level
+    begins_with condition), leading-'the' forms for every 10th company
+    (the dual sort-prefix query), and unmatchable noise strings. Shared by
+    the driver query and scripts/gen_expected.py — the surfaces are INPUT;
+    the linking itself is recomputed independently on the oracle side."""
+    surfaces: List[str] = []
+    for rec in companies.itertuples(index=False):
+        surfaces.append(rec.canonical_name)
+        surfaces.extend(list(rec.aliases or []))
+        words = rec.canonical_name.split()
+        if len(words) >= 3:
+            surfaces.append(" ".join(words[:-1]) + " Holdings")
+        if rec.entity_id.endswith("0"):
+            surfaces.append("The " + rec.canonical_name)
+    surfaces.extend(f"Zyqblat Nonesuch {i}" for i in range(5))
+    return sorted(set(surfaces))
+
+
 # ---------------------------------------------------------------------------
 # Sentence grammar (F2)
 # ---------------------------------------------------------------------------

@@ -510,6 +510,7 @@ def duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: str = "disk_only",
 ) -> DataFrame:
     """Exact duplicate-SUBSTRING detection — the span-level dedup tier
     between exact-document dedup and MinHash near-dup (the "Deduplicating
@@ -545,6 +546,23 @@ def duplicate_spans(
       4. per-doc gaps-and-islands merge: one window function over
          (doc_id, pos) — a single shuffle on doc_id.
     Nothing is quadratic; every stage is a hash shuffle Catalyst plans.
+
+    `materialize` picks the branch-point strategy for the position table
+    (one 16-byte row per corpus token position, consumed by BOTH the
+    dup-fingerprint aggregate and the semi-join leg):
+      - "disk_only" (default): persist(DISK_ONLY). Lineage is kept, so an
+        executor loss recomputes the lost blocks instead of failing the
+        job, and the blocks spill to local disk rather than doubling
+        executor memory — the right trade at the 100-TB target, where the
+        position table is roughly corpus-sized.
+      - "checkpoint": eager localCheckpoint. Fastest for repeated local /
+        interactive reuse (plan truncation, no re-analysis), but blocks
+        are unrecoverable on executor loss and the eager copy roughly
+        doubles the operation's transient storage footprint at scale.
+      - "recompute": no materialization — the window explode runs once per
+        consumer (twice total). Zero storage overhead; choose it when the
+        corpus scan is cheaper than spilling the position table (e.g.
+        highly selective text_col pruning on fast object storage).
     """
     words = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
@@ -566,16 +584,27 @@ def duplicate_spans(
     # exploding twice. The gram string is built ONCE in this projection and
     # hashed twice; only the 16-byte fingerprint survives into the
     # checkpoint/shuffles.
-    w = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(wins).alias("w"))
-        .select(
-            "doc_id",
-            F.col("w.pos").alias("pos"),
-            F.xxhash64(F.col("w.gram")).alias("h1"),
-            F.xxhash64(F.col("w.gram"), F.lit(0x9E37)).alias("h2"),
-        )
-        .localCheckpoint(eager=True)
+    if materialize not in ("disk_only", "checkpoint", "recompute"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.pos").alias("pos"),
+        F.xxhash64(F.col("w.gram")).alias("h1"),
+        # salt FIRST: Spark folds multi-arg xxhash64 left-to-right with
+        # the running hash as seed, so xxhash64(gram, salt) would be a
+        # deterministic function of h1 (every h1 collision also an h2
+        # collision — a 2^64 bound, not 2^128). Leading with the salt
+        # seeds the fold, making the lanes independent.
+        F.xxhash64(F.lit(0x9E37), F.col("w.gram")).alias("h2"),
     )
+    if materialize == "checkpoint":
+        w = w.localCheckpoint(eager=True)
+    elif materialize == "disk_only":
+        from pyspark import StorageLevel
+
+        w = w.persist(StorageLevel.DISK_ONLY)
     dup_grams = (
         w.groupBy("h1", "h2")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -644,6 +673,7 @@ def cut_duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: str = "disk_only",
 ) -> DataFrame:
     """Span SURGERY over duplicate_spans: remove every duplicated passage
     from every document's text instead of dropping whole documents — the
@@ -662,7 +692,8 @@ def cut_duplicate_spans(
     higher-order array functions (filter + exists with an outer index
     capture) — no Python in the path."""
     spans = duplicate_spans(
-        docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col
+        docs, n=n, min_docs=min_docs, text_col=text_col, id_col=id_col,
+        materialize=materialize,
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")

@@ -198,7 +198,7 @@ def token_cooccurrence(
     min_df: int = 25,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_tokens_per_doc: int | None = None,
+    max_tokens_per_doc: int | None = 5000,
 ) -> DataFrame:
     """Document-level token co-occurrence statistics + PMI — the corpus
     association-mining op of a training-data pipeline (collocation /
@@ -222,8 +222,10 @@ def token_cooccurrence(
     keeps its `max_tokens_per_doc` RAREST frequent tokens (lowest df,
     token-lexicographic tiebreak — deterministic, and rare tokens carry
     the PMI signal); the number of dropped (doc, token) rows is counted
-    and logged (no silent caps). None (the default) disables the cap —
-    callers feeding uncurated web corpora should set it (~1-5k)."""
+    and logged (no silent caps). The DEFAULT is a conservative 5000 so the
+    safe behavior is the ambient one at web scale (a doc must carry >5000
+    DISTINCT min_df-frequent tokens before anything drops — ordinary
+    documents are untouched); pass None for exact small-corpus runs."""
     tokens = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(

@@ -217,6 +217,14 @@ def _cfg_signature(cfg) -> str:
                     v = f"vocab:{h}"
             except Exception:
                 v = "set"
+        elif f.name == "re_model_path":
+            # a retrained checkpoint REWRITTEN TO THE SAME PATH must
+            # invalidate downstream stages, exactly like the broadcast
+            # branch above — fold the file content signature
+            # (relpath|size|mtime_ns, via _input_signature) in with the
+            # path string, never the path alone
+            if v is not None:
+                v = f"path:{v}:{_input_signature(v)}"
         elif f.name == "re_dropped_acc":
             v = None if v is None else "acc"
         parts.append(f"{f.name}={v!r}")

@@ -20,10 +20,15 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
         # JVM-side probe: partition count of the physical plan's InternalRow
         # RDD. df.rdd would wrap the plan in a Python-serialization stage
         # (DeserializeToObject + pickler setup) just to ask a partition
-        # count — pure overhead on every wrapped read.
+        # count — pure overhead on every wrapped read, so it is never used,
+        # not even as a fallback.
         n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
-    except Exception:  # private-API drift: fall back to the public path
-        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        # private-API drift (a pyspark upgrade renaming queryExecution):
+        # assume under-parallelized and repartition. Worst case is one
+        # redundant shuffle on an already-wide input — correctness-neutral,
+        # and strictly better than silently serializing narrow stages.
+        n_parts = 0
     if n_parts < target:
         if keys:
             from pyspark.sql import functions as F

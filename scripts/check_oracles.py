@@ -25,7 +25,11 @@ def norm(df):
     sort_cols = [c for c in df.columns if df[c].dtype != object or df[c].map(lambda v: isinstance(v, (str, type(None)))).all()]
     return df.sort_values(by=sort_cols or list(df.columns), kind="mergesort").reset_index(drop=True)
 
-qs, oracles = E.queries(), E.oracle_sql()
+# extras: oracle-checked HERE (and in pytest) but parked outside the
+# driver-facing registry, which the driver truncates at 50 entries
+qs, oracles = dict(E.queries()), dict(E.oracle_sql())
+qs.update(E.extra_queries())
+oracles.update(E.extra_oracle_sql())
 only = sys.argv[1:] or None
 for name, fn in qs.items():
     if only and name not in only: continue

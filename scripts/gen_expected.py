@@ -684,6 +684,7 @@ def main() -> None:
         "doc_relations": gen_doc_relations(),
         "curation_survivors": gen_curation(),
         "kg_negatives": gen_kg_negatives(),
+        "linked_mentions": gen_linked_mentions(),
     }
     for name, df in tables.items():
         df.to_parquet(OUT / f"{name}.parquet", index=False)
@@ -732,6 +733,129 @@ def gen_kg_negatives(k=2, max_pool=500, seed=42) -> pd.DataFrame:
         rows,
         columns=["r_id", "neg_idx", "subj_id", "pred", "obj_id", "corrupted"],
     ).astype({"neg_idx": "int64"})
+
+
+def gen_linked_mentions(
+    cand_thresh=0.8, match_thresh=0.95, top_k=5, sort_len=5
+) -> pd.DataFrame:
+    """Entity-linking oracle (L4-L6): the broadcast linking tier's DECISION
+    LOGIC — exact map with min-(form, entity) tie resolution, prefix2
+    blocking, the L5 sort-prefix begins_with gate with its leading-'the'
+    dual query, match/candidate thresholds and top-k — recomputed here in
+    plain Python, independently of operators/linking.py's code. Only
+    HashEmbedder is imported (it IS the model; its vectors define the
+    scores). Candidate sets are emitted order-insensitively (sorted ids,
+    bp score sum) exactly like the Spark-side projection."""
+    import math
+    import string as _str
+
+    from finance_sc_relations_spark.fixtures import (
+        company_universe,
+        linking_probe_surfaces,
+    )
+    from finance_sc_relations_spark.functions.similarity import HashEmbedder
+
+    punct = set(_str.punctuation)
+
+    def depunct(s: str) -> str:
+        return "".join(ch for ch in s.strip() if ch not in punct).lower()
+
+    def prefix2(s: str) -> str:
+        return depunct(s).replace("the", "").replace(" ", "")[:2]
+
+    def sort_queries(s: str) -> list:
+        sort = depunct(s)
+        out = []
+        if sort.split(" ")[0] == "the":
+            out.append(sort[: 4 + sort_len].strip())
+            sort = sort[4:].strip()
+        out.append(sort[:sort_len].strip())
+        return out
+
+    companies = company_universe()
+    emb = HashEmbedder()
+
+    # dictionary forms: (form, entity_id, canonical), block-ordered by
+    # (form, entity_id) — the operator's broadcast order
+    forms = []
+    exact: dict = {}
+    for rec in companies.itertuples(index=False):
+        for form in [rec.canonical_name, *list(rec.aliases or [])]:
+            forms.append((form, rec.entity_id, rec.canonical_name))
+    forms.sort(key=lambda r: (r[0], r[1]))
+    for form, eid, canon in forms:
+        if form not in exact:
+            exact[form] = (eid, canon)
+    blocks: dict = {}
+    for form, eid, canon in forms:
+        blocks.setdefault(prefix2(form), []).append((form, eid, canon))
+    block_emb = {
+        p: emb.encode([f for f, _, _ in items]) for p, items in blocks.items()
+    }
+    block_sorts = {
+        p: [depunct(f) for f, _, _ in items] for p, items in blocks.items()
+    }
+
+    def bp(x: float) -> int:
+        return int(math.floor(float(x) * 10000 + 0.5))
+
+    rows = []
+    for surface in linking_probe_surfaces(companies):
+        p = prefix2(surface)
+        items = blocks.get(p, [])
+        eligible = [
+            j
+            for j, sn in enumerate(block_sorts.get(p, []))
+            if any(sn.startswith(q) for q in sort_queries(surface))
+        ]
+        cands = []
+        best = None
+        if eligible:
+            v = emb.encode([surface])[0]
+            sims = block_emb[p][eligible] @ v
+            order = sorted(range(len(eligible)), key=lambda j: (-sims[j], j))
+            for j in order:
+                s = float(sims[j])
+                if s < cand_thresh or len(cands) >= top_k:
+                    break
+                if s >= match_thresh:
+                    continue
+                form, eid, _ = items[eligible[j]]
+                cands.append((eid, s))
+            top = order[0]
+            if float(sims[top]) >= match_thresh:
+                form, eid, canon = items[eligible[top]]
+                best = (eid, canon, float(sims[top]))
+        hit = exact.get(surface)
+        if hit is not None:
+            eid, canon, score = hit[0], hit[1], 1.0
+        elif best is not None:
+            eid, canon, score = best
+        else:
+            eid, canon, score = "", "", None
+        rows.append(
+            (
+                surface,
+                eid,
+                canon,
+                bp(score) if score is not None else -1,
+                len(cands),
+                ",".join(sorted(e for e, _ in cands)),
+                sum(bp(s) for _, s in cands),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "surface",
+            "entity_id",
+            "matched_name",
+            "score_bp",
+            "n_candidates",
+            "cand_ids",
+            "cand_sum_bp",
+        ],
+    ).astype({"score_bp": "int64", "n_candidates": "int64", "cand_sum_bp": "int64"})
 
 
 if __name__ == "__main__":

@@ -119,3 +119,49 @@ def test_bm25_stats_ride_a_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final per aggregate
+
+
+def test_query_registry_cap():
+    """The driver records only the FIRST 50 queries() entries
+    (CORRECTNESS_r04 truncated 52 -> 50, silently dropping the multimodal
+    rows that had been green since r1). Guard the contract: exactly 50
+    driver-facing entries, oracle keys in 1:1 correspondence, extras parked
+    in extra_queries() with their own oracles, and the once-dropped
+    multimodal queries pinned to the first half of the registry."""
+    import __spark_entry__ as E
+
+    q, o = E.queries(), E.oracle_sql()
+    eq, eo = E.extra_queries(), E.extra_oracle_sql()
+    assert len(q) == 50, f"driver registry must stay at 50, got {len(q)}"
+    assert set(q) == set(o)
+    assert set(eq) == set(eo)
+    assert not set(eq) & set(q)
+    order = list(q)
+    for name in ("multimodal_features", "multimodal_frames", "linked_mentions"):
+        assert order.index(name) < 25, f"{name} must sit in the first half"
+
+
+def test_extra_queries_match_duckdb_oracles(spark):
+    """The three registry-overflow queries (see test_query_registry_cap)
+    keep full value-level oracle evidence here: same rows, columns, dtypes
+    and values as their DuckDB oracle at sf0.01."""
+    import duckdb
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracles = E.extra_oracle_sql()
+    for name, fn in E.extra_queries().items():
+        a = fn(spark, SF).toPandas()
+        b = con.execute(oracles[name]).df()
+        a = a[sorted(a.columns)].sort_values(by=list(sorted(a.columns)), kind="mergesort").reset_index(drop=True)
+        b = b[sorted(b.columns)].sort_values(by=list(sorted(b.columns)), kind="mergesort").reset_index(drop=True)
+        assert list(a.columns) == list(b.columns), name
+        assert len(a) == len(b), name
+        for c in a.columns:
+            assert str(a[c].dtype) == str(b[c].dtype), (name, c, a[c].dtype, b[c].dtype)
+            assert (a[c].values == b[c].values).all(), (name, c)

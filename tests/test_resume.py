@@ -264,3 +264,28 @@ def test_cfg_signature_model_content_keys(spark):
     a1 = _cfg_signature(PipelineConfig(re_dropped_acc=sc.accumulator(0)))
     a2 = _cfg_signature(PipelineConfig(re_dropped_acc=sc.accumulator(0)))
     assert a1 == a2
+
+
+def test_cfg_signature_model_path_content_keys(tmp_path):
+    """A retrained model.pth.tar REWRITTEN TO THE SAME PATH must change the
+    resume fingerprint (ADVICE r4): the path string alone would silently
+    resume stale scored/triple stages against the new weights."""
+    import os
+
+    from finance_sc_relations_spark.operators.models import (
+        ConstantModel,
+        save_model_checkpoint,
+    )
+    from finance_sc_relations_spark.plans.checkpoint import _cfg_signature
+    from finance_sc_relations_spark.plans.pipeline import PipelineConfig
+
+    path = tmp_path / "model.pth.tar"
+    save_model_checkpoint(path, ConstantModel([0.8, 0.1, 0.1]))
+    sig1 = _cfg_signature(PipelineConfig(re_model_path=str(path)))
+    sig1_again = _cfg_signature(PipelineConfig(re_model_path=str(path)))
+    assert sig1 == sig1_again  # untouched file -> resume
+
+    save_model_checkpoint(path, ConstantModel([0.1, 0.8, 0.1]))  # retrained
+    # the (size, mtime_ns) signature sees the rewrite even when the pickle
+    # payload is byte-length-identical (mtime_ns moved)
+    assert _cfg_signature(PipelineConfig(re_model_path=str(path))) != sig1
