@@ -94,12 +94,34 @@ class WordPieceTokenizer:
                 vocab[w] = len(vocab)
         return cls(vocab)
 
+    @classmethod
+    def from_vocab_file(
+        cls, path, added_tokens: Sequence[str] = ()
+    ) -> "WordPieceTokenizer":
+        """Load a BERT-format vocab.txt — one token per line, id = line
+        number, the exact serialization HuggingFace WordPiece tokenizers
+        ship (bert-base-uncased's 30,522-line file drops in unchanged).
+        encode/marker/truncation semantics are identical to the
+        corpus-built path; only the vocabulary differs. Pair with
+        add_tokens(RE_SPECIAL_TOKENS) to reproduce the reference's
+        tokenizer setup (preprocessing_funcs.py:371-385)."""
+        vocab: dict[str, int] = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                token = line.rstrip("\n")
+                if token:
+                    vocab[token] = i
+        return cls(vocab, added_tokens=added_tokens)
+
     def add_tokens(self, tokens: Sequence[str]) -> None:
         """HF add_tokens: append new ids past the current vocab; added
         tokens are ATOMIC in tokenization (never wordpiece-split)."""
         for t in tokens:
             if t not in self.vocab:
-                self.vocab[t] = len(self.vocab)
+                # max+1, not len(): a file-loaded vocab may have id gaps
+                # (blank vocab.txt lines keep their line number); len()
+                # could then collide with an existing id
+                self.vocab[t] = max(self.vocab.values()) + 1
             if t not in self.added:
                 self.added.append(t)
         self._added_split = self._compile_added()
@@ -227,3 +249,28 @@ def encode_with_markers(
     encoded = [tok.encode(s, max_length=max_length) for s in sents]
     starts = [get_e1e2_start_ids(ids, e1_id, e2_id) for ids in encoded]
     return encoded, starts
+
+
+def pad_batch(encoded, pad_id: int):
+    """Batch-max padding + attention mask — the Pad_Sequence semantics of
+    the reference's collate step (src/relation_extraction/
+    preprocessing_funcs.py:233-285): ragged id lists become one (B, L)
+    int64 matrix padded with `pad_id` to the BATCH max length, with a (B, L)
+    0/1 attention mask (1 = real token). This is exactly the
+    (input_ids, attention_mask) pair a transformer forward consumes; the
+    contract every score_ids_batch implementation receives."""
+    import numpy as np
+
+    if not encoded:
+        return (
+            np.zeros((0, 0), dtype=np.int64),
+            np.zeros((0, 0), dtype=np.int64),
+        )
+    lengths = [len(ids) for ids in encoded]
+    width = max(lengths)
+    mat = np.full((len(encoded), width), pad_id, dtype=np.int64)
+    mask = np.zeros((len(encoded), width), dtype=np.int64)
+    for i, ids in enumerate(encoded):
+        mat[i, : lengths[i]] = ids
+        mask[i, : lengths[i]] = 1
+    return mat, mask

@@ -68,7 +68,9 @@ def tag_and_score(
     sentence with the broadcast WordPieceTokenizer, index [E1]/[E2] in the
     subword ids, DROP rows whose markers were truncated away at max_length
     and count them into dropped_acc (preprocessing_funcs.py:333-339);
-    models exposing score_ids_batch receive (ids, e1_e2_starts)."""
+    models exposing score_ids_batch receive the padded (B, L) id matrix,
+    marker positions and 0/1 attention mask (Pad_Sequence collate,
+    preprocessing_funcs.py:233-285) via the shared gate_and_score kernel."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = resolve_model(model_broadcast, model_path)

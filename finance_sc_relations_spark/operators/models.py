@@ -235,19 +235,35 @@ def get_sc_model() -> SCLexicalModel:
 
 class MarkerProbeModel:
     """Contract probe for the token-ID scoring seam: a model exposing
-    score_ids_batch(ids_batch, e1_e2_starts) receives the ENCODED form the
-    transformer RE head consumes (re_trf.py:51-65 pools hidden states at
-    the [E1]/[E2] marker positions). This probe echoes its inputs through
-    the score row — sup=e1_pos, cus=e2_pos, oth=len(ids) — so tests can
-    assert exactly what reached the model; score_batch raises, proving the
-    string path is bypassed when a tokenizer is wired."""
+    score_ids_batch(ids, e1_e2_starts, attention_mask) receives the ENCODED
+    form the transformer RE head consumes — a (B, L) id matrix padded to
+    batch max plus its 0/1 attention mask (the Pad_Sequence collate,
+    preprocessing_funcs.py:233-285) and the marker positions re_trf.py:51-65
+    pools at. The probe VALIDATES the padding contract on every call
+    (rectangular shapes, mask is 1s-then-0s per row, every masked-off cell
+    holds the single pad id, markers sit inside the unmasked span) and
+    echoes sup=e1_pos, cus=e2_pos, oth=true_length so tests can assert
+    exactly what reached the model; score_batch raises, proving the string
+    path is bypassed when a tokenizer is wired."""
 
     num_labels = 3
 
-    def score_ids_batch(self, ids_batch, starts) -> np.ndarray:
-        out = np.zeros((len(ids_batch), 3), dtype=np.float32)
-        for i, (ids, st) in enumerate(zip(ids_batch, starts)):
-            out[i] = (st[0], st[1], len(ids))
+    def score_ids_batch(self, ids, starts, attention_mask=None) -> np.ndarray:
+        ids = np.asarray(ids)
+        assert attention_mask is not None, "padded contract requires a mask"
+        mask = np.asarray(attention_mask)
+        assert ids.shape == mask.shape and ids.ndim == 2, (ids.shape, mask.shape)
+        assert set(np.unique(mask)) <= {0, 1}
+        lengths = mask.sum(axis=1)
+        out = np.zeros((ids.shape[0], 3), dtype=np.float32)
+        for i, st in enumerate(starts):
+            n = int(lengths[i])
+            # mask must be a contiguous prefix of 1s (right padding only)
+            assert mask[i, :n].all() and not mask[i, n:].any(), mask[i]
+            pad_cells = ids[i, n:]
+            assert pad_cells.size == 0 or (pad_cells == pad_cells[0]).all()
+            assert 0 <= st[0] < n and 0 <= st[1] < n, (st, n)
+            out[i] = (st[0], st[1], n)
         return out
 
     def score_batch(self, texts: Sequence[str]) -> np.ndarray:

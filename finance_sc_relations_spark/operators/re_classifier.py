@@ -63,11 +63,15 @@ def gate_and_score(model, tok, sents, max_length, reverse, dropped_acc):
 
     When `tok` is set: encode each tagged sentence, index [E1]/[E2] in the
     subword ids, DROP rows whose markers are missing (truncated away at
-    max_length), counting them into dropped_acc. Models exposing
-    score_ids_batch(ids, e1_e2_starts) receive the encoded form; otherwise
-    the surviving strings go through score_batch. The direction-reverse
-    ensemble (infer.py:150-167) swaps supplier<->customer columns of the
-    reversed pass and averages.
+    max_length), counting them into dropped_acc (advisory — see score_pairs
+    docstring for the at-least-once caveat). Models exposing
+    score_ids_batch(ids, e1_e2_starts, attention_mask) receive the encoded
+    form padded to batch max with the tokenizer's pad id plus a 0/1
+    attention mask (the Pad_Sequence collate contract,
+    preprocessing_funcs.py:233-285 — what re_trf.py:51-65 pools over);
+    otherwise the surviving strings go through score_batch. The
+    direction-reverse ensemble (infer.py:150-167) swaps supplier<->customer
+    columns of the reversed pass and averages.
 
     Returns (keep, scores): `keep` indexes the surviving rows of `sents`
     (all rows when tok is None); `scores` is the (len(keep), 3) ensemble
@@ -89,7 +93,11 @@ def gate_and_score(model, tok, sents, max_length, reverse, dropped_acc):
     else:
         keep = list(range(len(sents)))
     if tok is not None and hasattr(model, "score_ids_batch"):
-        fwd = model.score_ids_batch(encoded, starts)
+        from ..functions.wordpiece import pad_batch
+
+        pad_id = tok.pad_token_id
+        ids_mat, attn = pad_batch(encoded, pad_id)
+        fwd = model.score_ids_batch(ids_mat, starts, attention_mask=attn)
         rev = None
         if reverse:
             from ..functions.wordpiece import encode_with_markers
@@ -97,7 +105,10 @@ def gate_and_score(model, tok, sents, max_length, reverse, dropped_acc):
             rev_enc, rev_starts = encode_with_markers(
                 tok, [inverse_relations(s) for s in sents], max_length
             )
-            rev = model.score_ids_batch(rev_enc, rev_starts)
+            rev_mat, rev_attn = pad_batch(rev_enc, pad_id)
+            rev = model.score_ids_batch(
+                rev_mat, rev_starts, attention_mask=rev_attn
+            )
     else:
         fwd = model.score_batch(sents)
         rev = (
@@ -149,8 +160,14 @@ def score_pairs(
     [E1]/[E2] markers are indexed in the subword-id sequence, and rows
     whose markers were truncated away at `max_length` (or never tagged) are
     DROPPED and counted into `dropped_acc` (a sc.accumulator — the
-    "Invalid rows/total" lineage). A model exposing score_ids_batch(ids,
-    e1_e2_starts) receives the encoded form (the transformer contract);
+    "Invalid rows/total" lineage). The accumulator is ADVISORY: Spark
+    accumulators updated inside transformations have at-least-once
+    semantics (task retries and speculative execution re-add), so treat it
+    as a progress signal; the authoritative drop count is the
+    input_rows - output_rows delta the checkpointed runner records per
+    stage in its `_lineage` table (exactly-once, derived from committed
+    row counts). A model exposing score_ids_batch (the padded-ids
+    transformer contract) receives the encoded form;
     otherwise the surviving tagged strings are scored as before.
     """
     df = pairs

@@ -191,14 +191,16 @@ def run_pipeline(
     # surface_to_entity feeds the broadcast-dispatch count AND both endpoint
     # joins in link_triples — without materialization each action re-executes
     # the whole linking subtree (measured ~17s per action at 100k pages).
-    # localCheckpoint rather than persist: blocks are ContextCleaner-managed
-    # (freed when the frame is GC'd), so repeated run_pipeline calls in a
-    # long-lived session don't accumulate storage blocks the caller must
-    # remember to unpersist. Bounded: one row per distinct surface. Safe from
-    # the checkpoint-exprId-reuse hazard — every downstream consumer uses
-    # THIS frame (link_triples self-joins it twice by renamed columns); no
-    # pre-checkpoint lineage sibling is ever joined against it.
-    surface_to_entity = surface_to_entity.localCheckpoint(eager=True)
+    # persist, NOT localCheckpoint: checkpoint blocks truncate lineage, so
+    # one lost executor (routine with spot nodes / dynamic allocation at the
+    # web scale this targets) would fail the job instead of recomputing the
+    # lost partitions. persist keeps lineage AND its blocks are still
+    # ContextCleaner-managed (freed when the frame is GC'd), so repeated
+    # run_pipeline calls in a long-lived session don't leak storage; callers
+    # wanting deterministic release can unpersist the returned
+    # surface_to_entity frame themselves. Bounded: one row per distinct
+    # surface. The dispatch count below materializes it eagerly.
+    surface_to_entity = surface_to_entity.persist(StorageLevel.MEMORY_AND_DISK)
     # auto-dispatch: broadcast the surface map only below the same row
     # threshold as the dictionary — at web scale the per-distinct-surface map
     # is ~10^7+ rows and must go through a plain (AQE) equi-join instead.

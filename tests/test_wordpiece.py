@@ -207,3 +207,92 @@ def test_score_ids_batch_seam(spark, re_tok_bc):
     want = get_e1e2_start_ids(ids, e1_id, e2_id)
     got = [int(v) for v in row["scores"]]
     assert got == [want[0], want[1], len(ids)]
+
+
+def test_vocab_file_drop_in():
+    """The HF drop-in claim, exercised through the production path: load a
+    checked-in BERT-format vocab.txt (one token per line, id = line
+    number), add the RE specials, and run encode_with_markers end to end —
+    exact ids, marker positions, and truncation-drop behavior."""
+    from pathlib import Path
+
+    path = Path(__file__).parent / "fixtures" / "vocab_mini.txt"
+    tok = WordPieceTokenizer.from_vocab_file(path)
+    tok.add_tokens(RE_SPECIAL_TOKENS)
+
+    # file layout: ids are line numbers; RE specials appended past the end
+    assert tok.pad_token_id == 0
+    assert tok.vocab["[UNK]"] == 2 and tok.vocab["[CLS]"] == 3
+    assert tok.vocab["acme"] == 15 and tok.vocab["##ith"] == 18
+    assert tok.vocab["[E1]"] == 22 and tok.vocab["[/E2]"] == 25
+
+    sent = "[E1] acme [/E1] supplies [E2] zenith [/E2]."
+    encoded, starts = encode_with_markers(tok, [sent], None)
+    # zenith = zen + ##ith via greedy longest-match; '.' is its own piece
+    assert encoded[0] == [3, 22, 15, 23, 16, 24, 17, 18, 25, 14, 4]
+    assert starts[0] == (1, 5)
+
+    # keep-[SEP] truncation: at 7 the [E2] marker survives, at 6 it is
+    # cut -> the row is flagged invalid (None), the reference's drop case
+    enc7, st7 = encode_with_markers(tok, [sent], 7)
+    assert enc7[0] == [3, 22, 15, 23, 16, 24, 4] and st7[0] == (1, 5)
+    enc6, st6 = encode_with_markers(tok, [sent], 6)
+    assert st6[0] is None
+
+
+def test_pad_batch_contract():
+    """Pad_Sequence semantics (preprocessing_funcs.py:233-285): ragged id
+    lists -> (B, L) int64 matrix padded to BATCH max with pad_id + 0/1
+    attention mask, right-padding only."""
+    import numpy as np
+
+    from finance_sc_relations_spark.functions.wordpiece import pad_batch
+
+    ids, mask = pad_batch([[3, 9, 4], [3, 7, 8, 9, 4]], pad_id=0)
+    assert ids.dtype == np.int64 and mask.dtype == np.int64
+    assert ids.shape == (2, 5) == mask.shape
+    assert ids.tolist() == [[3, 9, 4, 0, 0], [3, 7, 8, 9, 4]]
+    assert mask.tolist() == [[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]]
+    empty_ids, empty_mask = pad_batch([], pad_id=0)
+    assert empty_ids.shape == (0, 0) == empty_mask.shape
+
+
+def test_score_ids_batch_padded_mask_seam(spark, re_tok_bc):
+    """Two different-length sentences through ONE scoring batch: the model
+    must see a rectangular padded matrix + mask (MarkerProbeModel asserts
+    the contract internally) and per-row TRUE lengths, not the batch max."""
+    from finance_sc_relations_spark.operators.models import (
+        MarkerProbeModel,
+        serialize_model,
+    )
+    from finance_sc_relations_spark.operators.re_classifier import score_pairs
+
+    bc = spark.sparkContext.broadcast(serialize_model("probe", MarkerProbeModel()))
+    long_tagged = SHORT_TAGGED + " again and again and again and again"
+    pairs = spark.createDataFrame(
+        [
+            ("u1", "s1", "s1_0", SHORT_TAGGED, "acme", "zenith", {}),
+            ("u1", "s2", "s2_0", long_tagged, "acme", "zenith", {}),
+        ],
+        "url string, sentence_id string, r_id string, sents string,"
+        " entity1 string, entity2 string, org_groups map<string,int>",
+    ).coalesce(1)
+    rows = {
+        r["sentence_id"]: [int(v) for v in r["scores"]]
+        for r in score_pairs(
+            pairs,
+            mutate=False,
+            reverse=False,
+            model_broadcast=bc,
+            tokenizer_broadcast=re_tok_bc,
+            max_length=64,
+        ).collect()
+    }
+    tok = re_tok_bc.value
+    e1_id = tok.convert_tokens_to_ids("[E1]")
+    e2_id = tok.convert_tokens_to_ids("[E2]")
+    for sid, sent in (("s1", SHORT_TAGGED), ("s2", long_tagged)):
+        ids = tok.encode(sent, max_length=64)
+        want = get_e1e2_start_ids(ids, e1_id, e2_id)
+        assert rows[sid] == [want[0], want[1], len(ids)], sid
+    assert rows["s1"][2] != rows["s2"][2]  # true lengths, not batch max
