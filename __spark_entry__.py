@@ -1096,6 +1096,9 @@ def _q_multimodal_features(spark, sf_dir):
     bp = F.transform(
         "features", lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5))
     )
+    probe = lambda k: F.coalesce(
+        F.element_at(F.col("probe"), k).cast("long"), F.lit(-1)
+    )
     return extract_media_features(media).select(
         "media_id",
         "n_bytes",
@@ -1104,13 +1107,28 @@ def _q_multimodal_features(spark, sf_dir):
             "feat_sum_bp"
         ),
         F.element_at(bp, 1).cast("long").alias("feat0_bp"),
+        # payload-parsed metadata: mvhd duration + trak count for mp4
+        # (the BMFF walk), pixel count for bmp/png headers, sample count
+        # for wav RIFF — all cross-checked against the oracle's
+        # independent parsers
+        probe("duration_ms").alias("duration_ms_probe"),
+        probe("n_tracks").alias("tracks_probe"),
+        F.coalesce(
+            (
+                F.element_at(F.col("probe"), "width")
+                * F.element_at(F.col("probe"), "height")
+            ).cast("long"),
+            F.lit(-1),
+        ).alias("px_probe"),
+        probe("n_samples").alias("samples_probe"),
     )
 
 
 # Expected sizes/shas/features recomputed in plain Python with an
 # INDEPENDENT decoder (scripts/gen_expected.py).
 _MULTIMODAL_SQL = f"""
-SELECT media_id, n_bytes, content_sha, feat_sum_bp, feat0_bp
+SELECT media_id, n_bytes, content_sha, feat_sum_bp, feat0_bp,
+       duration_ms_probe, tracks_probe, px_probe, samples_probe
 FROM read_parquet('{_EXPECTED_DIR}/multimodal_features.parquet')
 """
 

@@ -10,12 +10,16 @@ plumbing):
 - PNG (8-bit RGB, non-interlaced) via stdlib zlib: chunk walk, IDAT
   inflate, and full per-scanline filter reconstruction (None/Sub/Up/
   Average/Paeth);
-- WAV (16-bit PCM) via the stdlib `wave` module.
+- WAV (16-bit PCM) via the stdlib `wave` module;
+- MP4/ISO-BMFF METADATA via a real box walk (_parse_mp4: ftyp brand, mvhd
+  timescale/duration, trak count, mdat range) — the extraction step every
+  media pipeline runs before deciding whether to decode; frame sampling
+  and features use the located mdat byte stream.
 
-Formats needing external codecs (jpeg/mp4) fall back to a clearly-marked
-deterministic digest STUB — the Spark-side contract (schema, batch shape,
-partition sizing) stays identical, and a real cluster swaps the stub for
-PIL/libvips/ffmpeg without touching the DAG.
+Formats needing external codecs (jpeg; mp4 SAMPLE decode) fall back to a
+clearly-marked deterministic digest STUB — the Spark-side contract (schema,
+batch shape, partition sizing) stays identical, and a real cluster swaps
+the stub for PIL/libvips/ffmpeg without touching the DAG.
 
 Scale notes: binary payloads inflate row size, so media stages repartition by
 size (bytes-aware) before the UDF and keep
@@ -41,6 +45,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -70,6 +75,11 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("content_sha", StringType(), False),
         StructField("features", ArrayType(FloatType()), False),
+        # format-specific integers parsed FROM THE PAYLOAD (not copied from
+        # the metadata struct): bmp/png width/height from the headers, wav
+        # rate/samples from the RIFF chunks, mp4 timescale/duration/tracks
+        # from the ISO-BMFF mvhd/trak walk. Empty for digest-stub formats.
+        StructField("probe", MapType(StringType(), LongType()), False),
     ]
 )
 
@@ -187,16 +197,77 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _decode_stub(payload: bytes) -> np.ndarray:
-    """STUB for formats whose codecs aren't in this container (jpeg/mp4):
-    a deterministic digest block stands in for decoded content so the
+    """STUB for formats whose codecs aren't in this container (jpeg, and
+    mp4 SAMPLE DECODE — mp4 metadata is really parsed, see _parse_mp4): a
+    deterministic digest block stands in for decoded content so the
     plumbing stays testable. Clearly NOT a content decode."""
     digest = hashlib.blake2b(payload, digest_size=32).digest()
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
 
 
+def _parse_mp4(payload: bytes) -> dict:
+    """REAL ISO-BMFF metadata walk (ISO/IEC 14496-12) — pure stdlib
+    int.from_bytes, no codec: top-level box scan for ftyp/moov/mdat, then a
+    moov descent for mvhd (version 0 OR 1: timescale + duration) and the
+    trak count. This is the metadata-extraction step every real media
+    pipeline runs before deciding whether to decode at all. Returns
+    {brand, timescale, duration (media units), duration_ms, n_tracks,
+    mdat_off, mdat_len}. Raises ValueError on anything that is not a
+    plausible BMFF stream — callers fall back to the digest stub."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed BMFF box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    out = {
+        "brand": None, "timescale": None, "duration": None,
+        "duration_ms": None, "n_tracks": 0, "mdat_off": None, "mdat_len": 0,
+    }
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            out["brand"] = payload[body : body + 4].decode("latin-1")
+        elif btype == b"mdat":
+            out["mdat_off"], out["mdat_len"] = body, bend - body
+        elif btype == b"moov":
+            for ctype, cbody, cend in boxes(payload, body, bend):
+                if ctype == b"mvhd":
+                    version = payload[cbody]
+                    if version == 1:  # 64-bit times
+                        ts_off, dur_off, dur_n = cbody + 20, cbody + 24, 8
+                    else:
+                        ts_off, dur_off, dur_n = cbody + 12, cbody + 16, 4
+                    out["timescale"] = int.from_bytes(
+                        payload[ts_off : ts_off + 4], "big"
+                    )
+                    out["duration"] = int.from_bytes(
+                        payload[dur_off : dur_off + dur_n], "big"
+                    )
+                elif ctype == b"trak":
+                    out["n_tracks"] += 1
+    if not out["timescale"]:
+        raise ValueError("BMFF stream missing moov/mvhd timescale")
+    out["duration_ms"] = out["duration"] * 1000 // out["timescale"]
+    return out
+
+
 def _decode_values(payload: bytes, media_type: str, fmt: str | None) -> np.ndarray:
     """Unified decode -> float values in [0, 1] (pixels /255, samples
-    mapped from [-1,1]; digest stubs /255)."""
+    mapped from [-1,1]; mp4 feature source = the REAL mdat byte stream
+    located by the BMFF walk; digest stubs /255)."""
     if media_type == "image" and fmt == "bmp":
         return _decode_bmp(payload).ravel() / 255.0
     if media_type == "image" and fmt == "png":
@@ -204,7 +275,45 @@ def _decode_values(payload: bytes, media_type: str, fmt: str | None) -> np.ndarr
     if media_type == "audio" and fmt == "wav":
         samples, _ = _decode_wav(payload)
         return (samples.astype(np.float32) / 32768.0 + 1.0) / 2.0
+    if media_type == "video" and fmt == "mp4":
+        try:
+            info = _parse_mp4(payload)
+        except ValueError:
+            return _decode_stub(payload) / 255.0
+        mdat = np.frombuffer(
+            payload, np.uint8, count=info["mdat_len"], offset=info["mdat_off"]
+        )
+        return mdat.astype(np.float32) / 255.0
     return _decode_stub(payload) / 255.0
+
+
+def _probe_metadata(payload: bytes, media_type: str, fmt: str | None) -> dict:
+    """Format-specific integers parsed from the payload itself (never
+    copied from the metadata struct — the probe is how the pipeline audits
+    that metadata): bmp/png header dims, wav rate/samples, mp4
+    timescale/duration/track/mdat figures. {} for digest-stub formats or
+    unparsable payloads."""
+    try:
+        if media_type == "image" and fmt == "bmp":
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return {"width": w, "height": abs(h)}
+        if media_type == "image" and fmt == "png":
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"width": w, "height": h}
+        if media_type == "audio" and fmt == "wav":
+            samples, rate = _decode_wav(payload)
+            return {"rate_hz": rate, "n_samples": len(samples)}
+        if media_type == "video" and fmt == "mp4":
+            info = _parse_mp4(payload)
+            return {
+                "timescale": info["timescale"],
+                "duration_ms": info["duration_ms"],
+                "n_tracks": info["n_tracks"],
+                "mdat_bytes": info["mdat_len"],
+            }
+    except (ValueError, struct.error):
+        return {}
+    return {}
 
 
 # ---------------------------------------------------------------------------
@@ -221,13 +330,12 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, nbytes, shas, feats = [], [], [], []
+            ids, nbytes, shas, feats, probes = [], [], [], [], []
             for rec in batch.itertuples(index=False):
                 payload = bytes(rec.payload)
                 meta = rec.meta or {}
-                values = _decode_values(
-                    payload, meta.get("media_type"), meta.get("format")
-                )
+                mtype, fmt = meta.get("media_type"), meta.get("format")
+                values = _decode_values(payload, mtype, fmt)
                 vec = np.array(
                     [b.mean() if b.size else 0.0
                      for b in np.array_split(values, feature_dim)],
@@ -237,12 +345,14 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 nbytes.append(len(payload))
                 shas.append(hashlib.sha256(payload).hexdigest())
                 feats.append(vec)
+                probes.append(_probe_metadata(payload, mtype, fmt))
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "n_bytes": nbytes,
                     "content_sha": shas,
                     "features": feats,
+                    "probe": probes,
                 }
             )
 
@@ -255,8 +365,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     - audio/wav: the frame payload is the REAL PCM byte slice of the
       [offset, offset+every_ms) window, cut from the wave-decoded samples;
-    - video/mp4: the decode is STUBBED (no ffmpeg in this container) — the
-      payload is a deterministic digest of (payload, offset).
+    - video/mp4: the mvhd duration from the REAL ISO-BMFF walk drives the
+      sampling grid (overriding stale struct metadata), and the frame
+      payload is the duration-proportional mdat byte range for the window
+      — the coarse stand-in for a sample-table (stts/stsz/stco) seek; a
+      full codec decode of the seeked frame still needs ffmpeg;
+    - unparsable/other video: deterministic digest of (payload, offset).
 
     Output: (media_id, frame_index, offset_ms, frame_payload)."""
     schema = StructType(
@@ -279,13 +393,34 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     meta.get("media_type") == "audio"
                     and meta.get("format") == "wav"
                 )
+                mp4 = None
                 if is_wav:
                     samples, rate = _decode_wav(payload)
+                elif (
+                    meta.get("media_type") == "video"
+                    and meta.get("format") == "mp4"
+                ):
+                    try:
+                        mp4 = _parse_mp4(payload)
+                        # the PARSED duration is authoritative over struct
+                        # metadata — that is the point of the box walk
+                        duration = mp4["duration_ms"]
+                    except ValueError:
+                        mp4 = None
                 for i, off in enumerate(range(0, int(duration), every_ms)):
                     if is_wav:
                         lo = off * rate // 1000
                         hi = (off + every_ms) * rate // 1000
                         frame = samples[lo:hi].astype("<i2").tobytes()
+                    elif mp4 is not None:
+                        # duration-proportional mdat byte range for the
+                        # window (sample-table-free seek approximation)
+                        d = max(int(duration), 1)
+                        lo = mp4["mdat_off"] + mp4["mdat_len"] * off // d
+                        hi = mp4["mdat_off"] + mp4["mdat_len"] * min(
+                            off + every_ms, d
+                        ) // d
+                        frame = payload[lo:hi]
                     else:
                         # STUB: a real decoder seeks to `off` and decodes a
                         # frame; we emit a deterministic digest block.
@@ -409,10 +544,61 @@ def make_wav(tag: str, duration_ms: int = 5000, rate: int = AUDIO_RATE) -> bytes
     return buf.getvalue()
 
 
+def make_mp4(
+    tag: str,
+    duration_ms: int = 5000,
+    timescale: int = 1000,
+    n_tracks: int = 1,
+    mdat_bytes: int = 4096,
+) -> bytes:
+    """A minimal VALID ISO-BMFF stream: ftyp(isom) + moov(mvhd v0 with the
+    given timescale/duration + one skeletal trak per track) + mdat with
+    deterministic payload bytes. Enough structure for any standards-
+    conforming box walker (incl. _parse_mp4 and the independent oracle
+    re-walk in scripts/gen_expected.py) to recover brand, timescale,
+    duration and track count; no codec data, so sample decode stays out of
+    scope."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                      # version 0 + flags
+        + (0).to_bytes(4, "big") * 2             # creation/modification time
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + b"\x00\x01\x00\x00"                    # rate 1.0 (16.16)
+        + b"\x01\x00"                            # volume 1.0 (8.8)
+        + bytes(10)                              # reserved
+        + bytes(36)                              # identity matrix slot
+        + bytes(24)                              # pre_defined
+        + (n_tracks + 1).to_bytes(4, "big"),     # next_track_ID
+    )
+    traks = b""
+    for t in range(n_tracks):
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"                  # version 0, enabled flags
+            + (0).to_bytes(4, "big") * 2
+            + (t + 1).to_bytes(4, "big")         # track_ID
+            + bytes(4)                           # reserved
+            + duration.to_bytes(4, "big")
+            + bytes(60),                         # reserved/layer/matrix/w/h
+        )
+        traks += box(b"trak", tkhd)
+    return (
+        box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+        + box(b"moov", mvhd + traks)
+        + box(b"mdat", det_bytes(tag, mdat_bytes))
+    )
+
+
 def make_synthetic_media(spark, n: int = 50) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks (no external
-    data): REAL BMP + PNG images and WAV audio, digest-backed opaque mp4
-    video."""
+    data): REAL BMP + PNG images, WAV audio, and structurally valid
+    ISO-BMFF mp4 video (parsed metadata real; sample decode stubbed)."""
     rows = []
     for i in range(n):
         mtype = ["image", "png", "audio", "video"][i % 4]
@@ -429,7 +615,12 @@ def make_synthetic_media(spark, n: int = 50) -> DataFrame:
             meta = {"media_type": "audio", "format": "wav",
                     "width": None, "height": None, "duration_ms": 5000}
         else:
-            payload = det_bytes(f"media{i}", 4096)
+            dur = 3000 + (i % 3) * 1000
+            payload = make_mp4(
+                f"media{i}", duration_ms=dur, n_tracks=1 + (i // 4) % 2
+            )
+            # struct metadata deliberately STALE (always 5000): the BMFF
+            # walk must override it (sample_frames trusts the parse)
             meta = {"media_type": "video", "format": "mp4",
                     "width": None, "height": None, "duration_ms": 5000}
         rows.append((i, payload, meta))

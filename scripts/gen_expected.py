@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 import itertools
 import re
+import struct
 import sys
 from decimal import ROUND_HALF_UP, Decimal
 from pathlib import Path
@@ -304,8 +305,8 @@ def _png_pixels_manual(payload: bytes) -> np.ndarray:
 
 def _media_payload(i: int):
     from finance_sc_relations_spark.operators.multimodal import (
-        det_bytes,
         make_bmp,
+        make_mp4,
         make_png,
         make_wav,
     )
@@ -317,28 +318,79 @@ def _media_payload(i: int):
         return mtype, make_png(f"media{i}")
     if mtype == "audio":
         return mtype, make_wav(f"media{i}")
-    return mtype, det_bytes(f"media{i}", 4096)
+    return mtype, make_mp4(
+        f"media{i}", duration_ms=3000 + (i % 3) * 1000, n_tracks=1 + (i // 4) % 2
+    )
+
+
+def _mp4_walk_manual(payload: bytes) -> dict:
+    """INDEPENDENT ISO-BMFF re-walk (different code from the operator's
+    _parse_mp4): recursive descent with struct.unpack, returning timescale,
+    duration_ms, track count and the mdat byte range."""
+    found = {"n_tracks": 0}
+
+    def walk(lo: int, hi: int, depth: int):
+        while lo + 8 <= hi:
+            size, = struct.unpack_from(">I", payload, lo)
+            name = payload[lo + 4 : lo + 8].decode("latin-1")
+            body = lo + 8
+            if size == 1:
+                size, = struct.unpack_from(">Q", payload, lo + 8)
+                body = lo + 16
+            elif size == 0:
+                size = hi - lo
+            assert size >= body - lo and lo + size <= hi, "bad box"
+            if name == "moov" and depth == 0:
+                walk(body, lo + size, 1)
+            elif name == "mvhd" and depth == 1:
+                ver = payload[body]
+                if ver == 1:
+                    ts, = struct.unpack_from(">I", payload, body + 20)
+                    dur, = struct.unpack_from(">Q", payload, body + 24)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, body + 12)
+                found["timescale"], found["duration"] = ts, dur
+            elif name == "trak" and depth == 1:
+                found["n_tracks"] += 1
+            elif name == "mdat" and depth == 0:
+                found["mdat_off"], found["mdat_len"] = body, lo + size - body
+            lo += size
+
+    walk(0, len(payload), 0)
+    found["duration_ms"] = found["duration"] * 1000 // found["timescale"]
+    return found
 
 
 def gen_multimodal(n=30, feature_dim=8) -> pd.DataFrame:
     """Features recomputed from an INDEPENDENT decode of the same payloads
-    (manual header/RIFF parsing above) — the oracle now checks feature
-    extraction, not just hash plumbing. Binning math mirrors the operator's
-    float32 numpy ops exactly."""
+    (manual header/RIFF/BMFF parsing above) — the oracle checks feature
+    extraction AND the payload-parsed metadata probe, not just hash
+    plumbing. Binning math mirrors the operator's float32 numpy ops
+    exactly."""
     rows = []
     for i in range(n):
         mtype, payload = _media_payload(i)
+        dur_probe = tracks_probe = px_probe = samples_probe = -1
         if mtype == "image":
             values = _bmp_pixels_manual(payload).astype(np.float32) / 255.0
+            w, h = struct.unpack_from("<ii", payload, 18)
+            px_probe = w * abs(h)
         elif mtype == "png":
             values = _png_pixels_manual(payload).astype(np.float32) / 255.0
+            w, h = struct.unpack(">II", payload[16:24])
+            px_probe = w * h
         elif mtype == "audio":
             pcm, _ = _wav_pcm_manual(payload)
             s = np.frombuffer(pcm, dtype="<i2")
             values = (s.astype(np.float32) / 32768.0 + 1.0) / 2.0
+            samples_probe = len(s)
         else:
-            digest = hashlib.blake2b(payload, digest_size=32).digest()
-            values = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+            box = _mp4_walk_manual(payload)
+            mdat = np.frombuffer(
+                payload, np.uint8, count=box["mdat_len"], offset=box["mdat_off"]
+            )
+            values = mdat.astype(np.float32) / 255.0
+            dur_probe, tracks_probe = box["duration_ms"], box["n_tracks"]
         vec = np.array(
             [b.mean() if b.size else 0.0
              for b in np.array_split(values, feature_dim)],
@@ -347,13 +399,14 @@ def gen_multimodal(n=30, feature_dim=8) -> pd.DataFrame:
         bp = np.floor(vec.astype(np.float64) * 10000 + 0.5).astype(np.int64)
         rows.append(
             (i, len(payload), hashlib.sha256(payload).hexdigest(),
-             int(bp.sum()), int(bp[0]))
+             int(bp.sum()), int(bp[0]),
+             dur_probe, tracks_probe, px_probe, samples_probe)
         )
-    return pd.DataFrame(
-        rows,
-        columns=["media_id", "n_bytes", "content_sha", "feat_sum_bp", "feat0_bp"],
-    ).astype({"media_id": "int64", "n_bytes": "int64",
-              "feat_sum_bp": "int64", "feat0_bp": "int64"})
+    cols = ["media_id", "n_bytes", "content_sha", "feat_sum_bp", "feat0_bp",
+            "duration_ms_probe", "tracks_probe", "px_probe", "samples_probe"]
+    return pd.DataFrame(rows, columns=cols).astype(
+        {c: "int64" for c in cols if c not in ("content_sha",)}
+    )
 
 
 def gen_dedup_clusters() -> pd.DataFrame:
@@ -538,20 +591,33 @@ def gen_curation(min_quality=0.5, decon_n=13) -> pd.DataFrame:
 
 def gen_multimodal_frames(n=30, every_ms=1000) -> pd.DataFrame:
     """Frame/window payload hashes: audio windows are REAL PCM slices cut
-    from the manual RIFF parse (independent of the operator's wave-module
-    decode); video stays the declared digest stub."""
+    from the manual RIFF parse; video windows are the duration-proportional
+    mdat byte ranges located by the manual BMFF re-walk (whose mvhd
+    duration must OVERRIDE the deliberately-stale struct metadata) — each
+    independent of the operator's decoders."""
     rows = []
     for i in range(n):
         mtype, payload = _media_payload(i)
-        duration = 5000 if mtype in ("audio", "video") else 0
-        pcm = rate = None
+        pcm = rate = box = None
         if mtype == "audio":
+            duration = 5000
             pcm, rate = _wav_pcm_manual(payload)
+        elif mtype == "video":
+            box = _mp4_walk_manual(payload)
+            duration = box["duration_ms"]
+        else:
+            duration = 0
         for fi, off in enumerate(range(0, duration, every_ms)):
             if mtype == "audio":
                 lo = off * rate // 1000 * 2
                 hi = (off + every_ms) * rate // 1000 * 2
                 frame = pcm[lo:hi]
+            elif mtype == "video":
+                lo = box["mdat_off"] + box["mdat_len"] * off // duration
+                hi = box["mdat_off"] + box["mdat_len"] * min(
+                    off + every_ms, duration
+                ) // duration
+                frame = payload[lo:hi]
             else:
                 frame = hashlib.blake2b(
                     payload + off.to_bytes(8, "big"), digest_size=16

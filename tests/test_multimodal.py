@@ -13,6 +13,7 @@ from finance_sc_relations_spark.operators.multimodal import (
     det_bytes,
     extract_media_features,
     make_bmp,
+    make_mp4,
     make_synthetic_media,
     make_wav,
     sample_frames,
@@ -64,17 +65,18 @@ def test_feature_extraction_real_decode(spark):
 
 
 def test_frame_sampling_real_audio_windows(spark):
+    from finance_sc_relations_spark.operators.multimodal import _parse_mp4
+
     media = make_synthetic_media(spark, n=9)
     frames = sample_frames(media, every_ms=1000).toPandas()
-    # only audio/video rows (duration 5000ms) produce frames: 5 frames each
     vids = frames.groupby("media_id").size()
-    assert set(vids.values) == {5}
-    # 4-way cycle: audio slots are i%4==2 (ids 2, 6), video i%4==3 (3, 7);
-    # images (bmp id 0/4/8, png id 1/5) have no duration -> no frames
+    # 4-way cycle: audio slots are i%4==2 (ids 2, 6; 5000ms -> 5 frames),
+    # video i%4==3 (ids 3, 7; mvhd duration 3000/4000ms -> 3/4 frames —
+    # the PARSED duration, overriding the deliberately-stale 5000ms struct
+    # metadata); images (bmp 0/4/8, png 1/5) have no duration -> no frames
     assert sorted(vids.index) == [2, 3, 6, 7]
-    assert sorted(frames[frames.media_id == 3]["offset_ms"]) == [
-        0, 1000, 2000, 3000, 4000,
-    ]
+    assert vids.to_dict() == {2: 5, 3: 3, 6: 5, 7: 4}
+    assert sorted(frames[frames.media_id == 3]["offset_ms"]) == [0, 1000, 2000]
     # audio frames are the REAL PCM slices of each 1s window
     pcm = det_bytes("media2", 5000 * AUDIO_RATE // 1000 * 2)
     aud = frames[frames.media_id == 2].sort_values("offset_ms")
@@ -83,9 +85,15 @@ def test_frame_sampling_real_audio_windows(spark):
         lo = int(row.offset_ms) * AUDIO_RATE // 1000 * 2
         hi = lo + AUDIO_RATE * 2
         assert bytes(row.frame_payload) == pcm[lo:hi]
-    # video frames stay digest-stubbed, deterministic and distinct
-    p = frames[frames.media_id == 3].sort_values("offset_ms")["frame_payload"]
-    assert len({bytes(x) for x in p}) == 5
+    # video frames are the REAL duration-proportional mdat byte ranges
+    payload = make_mp4("media3", duration_ms=3000, n_tracks=1)
+    info = _parse_mp4(payload)
+    vid = frames[frames.media_id == 3].sort_values("offset_ms")
+    for _, row in vid.iterrows():
+        off = int(row.offset_ms)
+        lo = info["mdat_off"] + info["mdat_len"] * off // 3000
+        hi = info["mdat_off"] + info["mdat_len"] * min(off + 1000, 3000) // 3000
+        assert bytes(row.frame_payload) == payload[lo:hi]
 
 
 def test_png_decode_roundtrip_all_filters():
@@ -147,3 +155,51 @@ def test_png_features_differ_from_digest_stub(spark):
             [b.mean() for b in np.array_split(stub, 8)], dtype=np.float32
         )
         assert not np.allclose(feats[mid], stub_vec)
+
+
+def test_mp4_box_walk_roundtrip():
+    """make_mp4 emits a minimal VALID ISO-BMFF stream; _parse_mp4 must
+    recover brand, timescale, mvhd duration and trak count, and reject
+    non-BMFF bytes (callers then fall back to the digest stub)."""
+    import pytest
+
+    from finance_sc_relations_spark.operators.multimodal import (
+        _parse_mp4,
+        _probe_metadata,
+    )
+
+    p = make_mp4("t4", duration_ms=4000, timescale=90000, n_tracks=2)
+    info = _parse_mp4(p)
+    assert info["brand"] == "isom"
+    assert info["timescale"] == 90000
+    assert info["duration"] == 4000 * 90000 // 1000
+    assert info["duration_ms"] == 4000 and info["n_tracks"] == 2
+    # mdat payload is the deterministic byte block, located exactly
+    assert p[info["mdat_off"] : info["mdat_off"] + info["mdat_len"]] == det_bytes(
+        "t4", 4096
+    )
+    assert _probe_metadata(p, "video", "mp4") == {
+        "timescale": 90000, "duration_ms": 4000, "n_tracks": 2,
+        "mdat_bytes": 4096,
+    }
+    for junk in (b"", b"short", det_bytes("junk", 64)):
+        with pytest.raises(ValueError):
+            _parse_mp4(junk)
+        assert _probe_metadata(junk, "video", "mp4") == {}
+
+
+def test_media_probe_parses_payload_not_metadata(spark):
+    """The probe column is parsed from payload bytes: image pixel dims, wav
+    rate/samples, mp4 timescale/duration/tracks — and stays empty for
+    formats without a parser."""
+    media = make_synthetic_media(spark, n=8)
+    rows = {
+        r["media_id"]: dict(r["probe"])
+        for r in extract_media_features(media).select("media_id", "probe").collect()
+    }
+    assert rows[0] == {"width": 8, "height": 8}                    # bmp
+    assert rows[1] == {"width": 8, "height": 8}                    # png
+    assert rows[2] == {"rate_hz": AUDIO_RATE, "n_samples": 5000 * AUDIO_RATE // 1000}
+    assert rows[3] == {"timescale": 1000, "duration_ms": 3000,
+                       "n_tracks": 1, "mdat_bytes": 4096}
+    assert rows[7]["duration_ms"] == 4000 and rows[7]["n_tracks"] == 2
