@@ -97,6 +97,116 @@ class RuleLLMAnnotator:
 
 
 # ---------------------------------------------------------------------------
+# G1 (production shape): HTTP chat-completion client behind the same
+# annotator interface (llm_annotator.py:92-105 get_completion)
+# ---------------------------------------------------------------------------
+
+_TRIPLE_LINE = re.compile(
+    r"(Company\d+)\s+(supplier|customer)\s+(?:of\s+)?(Company\d+)",
+    re.IGNORECASE,
+)
+
+
+class HttpLLMAnnotator:
+    """Chat-completion-backed annotator with the SAME annotate() interface
+    as RuleLLMAnnotator. Client behavior mirrors the reference's
+    get_completion (src/labels_generator/llm_annotator.py:92-105): one
+    user-role message per prompt, model + temperature from the card, and
+    retry-with-sleep on ANY transport/parse failure — bounded here by
+    max_retries because an executor task cannot afford the reference
+    notebook's unbounded `while not response` against a dead endpoint.
+
+    Pure stdlib urllib against any OpenAI-style /v1/chat/completions
+    endpoint (zero new dependencies). Org names are MASKED to CompanyN
+    before prompting and triples demasked after (llm_annotator.py:193-205),
+    so real company names never leave the cluster. The completion contract
+    is one triple per line over masked tokens — `Company0 supplier of
+    Company1` — parsed case-insensitively; lines naming unknown masks are
+    dropped.
+
+    Spark usage: construct on the driver, let the instance ride the
+    mapInPandas closure (it holds only strings), one annotator per
+    executor; calls run inside the verification pass exactly where
+    RuleLLMAnnotator runs."""
+
+    PROMPT = (
+        "List every supplier/customer relation between the masked companies"
+        " in the sentence, one per line, as 'CompanyX supplier of CompanyY'"
+        " (meaning CompanyX supplies CompanyY) or 'CompanyX customer of"
+        " CompanyY'. Answer 'none' if there is no relation.\n"
+        "Sentence: {sentence}"
+    )
+
+    def __init__(
+        self,
+        endpoint: str,
+        model: str = "gpt-3.5-turbo",
+        temperature: float = 0.0,
+        api_key: str | None = None,
+        max_retries: int = 5,
+        backoff_s: float = 0.2,
+        timeout_s: float = 30.0,
+    ):
+        self.endpoint = endpoint
+        self.model = model
+        self.temperature = temperature
+        self.api_key = api_key
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+        self.n_requests = 0  # telemetry: includes retries
+
+    def _completion(self, prompt: str) -> str:
+        import json as _json
+        import time
+        import urllib.error
+        import urllib.request
+
+        body = _json.dumps(
+            {
+                "model": self.model,
+                "messages": [{"role": "user", "content": prompt}],
+                "temperature": self.temperature,
+            }
+        ).encode()
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            self.n_requests += 1
+            try:
+                req = urllib.request.Request(
+                    self.endpoint, data=body, headers=headers, method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    payload = _json.loads(r.read().decode("utf-8"))
+                return payload["choices"][0]["message"]["content"]
+            except Exception as e:  # transport, HTTP status, or parse shape
+                last_err = e
+                if attempt + 1 < self.max_retries:
+                    time.sleep(self.backoff_s)
+        raise RuntimeError(
+            f"chat completion failed after {self.max_retries} attempts"
+        ) from last_err
+
+    def annotate(self, sentence: str, orgs: List[str]) -> List[List[str]]:
+        masked, mapping = mask_terms(sentence, orgs)
+        content = self._completion(self.PROMPT.format(sentence=masked))
+        triples: List[List[str]] = []
+        for m in _TRIPLE_LINE.finditer(content):
+            a, rel, b = m.group(1), m.group(2).lower(), m.group(3)
+            if a not in mapping or b not in mapping or a == b:
+                continue
+            if rel == "customer":  # normalize to supplier-directed triples
+                a, b = b, a
+            t = [mapping[a], "supplier", mapping[b]]
+            if t not in triples:
+                triples.append(t)
+        return triples
+
+
+# ---------------------------------------------------------------------------
 # G3: extract_relations_from_llm (data_aggregation.py:140-253)
 # ---------------------------------------------------------------------------
 

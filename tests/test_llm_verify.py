@@ -238,3 +238,120 @@ def test_rule_llm_annotator_many_orgs_token_boundary():
     ann = RuleLLMAnnotator()
     triples = ann.annotate(sent, orgs)
     assert ["Alpha Corp", "supplier", "Omega Inc"] in triples
+
+
+class _StubChatServer:
+    """Local OpenAI-style /v1/chat/completions stub: fails the first
+    `fail_first` requests with HTTP 500, then returns the canned completion.
+    Records every request body for assertions."""
+
+    def __init__(self, completion: str, fail_first: int = 0):
+        import http.server
+        import json
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (stdlib handler name)
+                n = int(self.headers.get("Content-Length", 0))
+                server.requests.append(json.loads(self.rfile.read(n)))
+                if len(server.requests) <= server.fail_first:
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                body = json.dumps(
+                    {
+                        "choices": [
+                            {"message": {"role": "assistant",
+                                         "content": server.completion}}
+                        ]
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence test output
+                pass
+
+        self.completion = completion
+        self.fail_first = fail_first
+        self.requests: list = []
+        self._httpd = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self._httpd.server_port}/v1/chat/completions"
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+def test_http_annotator_masks_retries_and_demasks():
+    """The HTTP path end to end against a local chat-completion stub: org
+    names are masked in the outbound prompt, HTTP 500s are retried with the
+    reference's sleep-and-retry shape, and the returned triples are
+    demasked back to real names."""
+    from finance_sc_relations_spark.operators.llm_verify import HttpLLMAnnotator
+
+    # mask ids assign longest-first: Company0 = "Zenith Holdings",
+    # Company1 = "Acme Corp"
+    server = _StubChatServer(
+        "Company1 supplier of Company0\nCompany0 customer of Company1\nnone",
+        fail_first=2,
+    )
+    try:
+        ann = HttpLLMAnnotator(server.url, max_retries=5, backoff_s=0.01)
+        triples = ann.annotate(
+            "Acme Corp supplies widgets to Zenith Holdings.",
+            ["Acme Corp", "Zenith Holdings"],
+        )
+        # both lines describe the same supplier-directed relation -> deduped
+        assert triples == [["Acme Corp", "supplier", "Zenith Holdings"]]
+        assert len(server.requests) == 3  # two 500s + one success
+        assert ann.n_requests == 3
+        sent = server.requests[-1]["messages"][0]["content"]
+        assert "Acme Corp" not in sent and "Zenith Holdings" not in sent
+        assert "Company0" in sent and "Company1" in sent
+        assert server.requests[-1]["model"] == "gpt-3.5-turbo"
+    finally:
+        server.close()
+
+
+def test_http_annotator_bounded_retry_raises():
+    """A dead endpoint must fail after max_retries, not hang the executor
+    like the reference's unbounded while-loop would."""
+    import pytest
+
+    from finance_sc_relations_spark.operators.llm_verify import HttpLLMAnnotator
+
+    server = _StubChatServer("unused", fail_first=10**6)
+    try:
+        ann = HttpLLMAnnotator(server.url, max_retries=3, backoff_s=0.01)
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            ann.annotate("Acme supplies Zenith.", ["Acme", "Zenith"])
+        assert len(server.requests) == 3
+    finally:
+        server.close()
+
+
+def test_http_annotator_ignores_unknown_masks_and_garbage():
+    from finance_sc_relations_spark.operators.llm_verify import HttpLLMAnnotator
+
+    # longest-first masks: Company0 = "Ax", Company1 = "B"
+    server = _StubChatServer(
+        "Company7 supplier of Company0\nCompany0 supplier of Company0\n"
+        "utter nonsense line\nCompany1 SUPPLIER Company0"
+    )
+    try:
+        ann = HttpLLMAnnotator(server.url, backoff_s=0.01)
+        triples = ann.annotate("B buys from Ax.", ["Ax", "B"])
+        # only the last line survives: known masks, distinct, case-folded
+        assert triples == [["B", "supplier", "Ax"]]
+    finally:
+        server.close()
