@@ -105,7 +105,7 @@ def bench_default() -> None:
             best = dt if best is None or dt < best else best
         queries[name] = round(best, 3)
 
-    qs = E.queries()
+    qs = {**E.queries(), **E.extra_queries()}  # extras: events_daily etc.
     # Warm-up (untimed), mirroring the KG warm-up below: the first query
     # otherwise absorbs one-off JVM codegen + python-worker startup, which
     # is session cost, not query cost.

@@ -205,6 +205,49 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
 
 
+def _parse_jpeg(payload: bytes) -> dict:
+    """REAL JPEG/JFIF metadata walk (ITU-T T.81 marker structure) — pure
+    stdlib, no codec: SOI check, marker-segment scan (skipping FF fill
+    bytes), frame header (SOF0/1/2) for precision/height/width/component
+    count, and the entropy-coded byte range between SOS and EOI. Full
+    sample decode (huffman + dequant + IDCT) still needs a codec and stays
+    stubbed. Raises ValueError on non-JPEG bytes."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    out = {
+        "width": None, "height": None, "n_components": None,
+        "precision": None, "entropy_off": None, "entropy_len": 0,
+    }
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1  # FF fill bytes are legal padding
+        marker = payload[pos]
+        pos += 1
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 frame header
+            out["precision"] = payload[pos + 2]
+            out["height"] = int.from_bytes(payload[pos + 3 : pos + 5], "big")
+            out["width"] = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            out["n_components"] = payload[pos + 7]
+        if marker == 0xDA:  # SOS: entropy-coded data runs until EOI
+            seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+            start = pos + seg_len
+            end = payload.rfind(b"\xff\xd9")
+            if end < start:
+                raise ValueError("JPEG missing EOI after SOS")
+            out["entropy_off"], out["entropy_len"] = start, end - start
+            break
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        if seg_len < 2:
+            raise ValueError("malformed JPEG segment length")
+        pos += seg_len
+    if out["width"] is None:
+        raise ValueError("JPEG missing SOF frame header")
+    return out
+
+
 def _parse_mp4(payload: bytes) -> dict:
     """REAL ISO-BMFF metadata walk (ISO/IEC 14496-12) — pure stdlib
     int.from_bytes, no codec: top-level box scan for ftyp/moov/mdat, then a
@@ -284,6 +327,18 @@ def _decode_values(payload: bytes, media_type: str, fmt: str | None) -> np.ndarr
             payload, np.uint8, count=info["mdat_len"], offset=info["mdat_off"]
         )
         return mdat.astype(np.float32) / 255.0
+    if media_type == "image" and fmt == "jpeg":
+        # feature source = the REAL entropy-coded byte range located by the
+        # marker walk (sample decode itself stays stubbed: needs a codec)
+        try:
+            info = _parse_jpeg(payload)
+        except ValueError:
+            return _decode_stub(payload) / 255.0
+        seg = np.frombuffer(
+            payload, np.uint8,
+            count=info["entropy_len"], offset=info["entropy_off"],
+        )
+        return seg.astype(np.float32) / 255.0
     return _decode_stub(payload) / 255.0
 
 
@@ -294,6 +349,13 @@ def _probe_metadata(payload: bytes, media_type: str, fmt: str | None) -> dict:
     timescale/duration/track/mdat figures. {} for digest-stub formats or
     unparsable payloads."""
     try:
+        if media_type == "image" and fmt == "jpeg":
+            info = _parse_jpeg(payload)
+            return {
+                "width": info["width"],
+                "height": info["height"],
+                "n_components": info["n_components"],
+            }
         if media_type == "image" and fmt == "bmp":
             w, h = struct.unpack_from("<ii", payload, 18)
             return {"width": w, "height": abs(h)}
@@ -544,6 +606,38 @@ def make_wav(tag: str, duration_ms: int = 5000, rate: int = AUDIO_RATE) -> bytes
     return buf.getvalue()
 
 
+def make_jpeg_shell(
+    tag: str, width: int = 8, height: int = 8, entropy_bytes: int = 512
+) -> bytes:
+    """A structurally valid JPEG/JFIF shell: SOI + APP0(JFIF) + DQT +
+    SOF0(dims, 3 components) + minimal DHT + SOS + deterministic
+    entropy-coded bytes (FF bytes remapped so no accidental markers) + EOI.
+    Marker walkers (incl. _parse_jpeg and the oracle's independent
+    re-walk) recover real dimensions and the entropy range; the entropy
+    payload is NOT a decodable scan — sample decode is explicitly out of
+    scope without a codec."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01" + b"\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([16] * 64))
+    sof0 = seg(
+        0xC0,
+        b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03"
+        + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    dht = seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    sos = seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+    entropy = bytes(
+        b if b != 0xFF else 0xFE for b in det_bytes(tag, entropy_bytes)
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
 def make_mp4(
     tag: str,
     duration_ms: int = 5000,
@@ -603,9 +697,17 @@ def make_synthetic_media(spark, n: int = 50) -> DataFrame:
     for i in range(n):
         mtype = ["image", "png", "audio", "video"][i % 4]
         if mtype == "image":
-            payload = make_bmp(f"media{i}")
-            meta = {"media_type": "image", "format": "bmp",
-                    "width": 8, "height": 8, "duration_ms": None}
+            # every second image slot (i % 8 == 4) is a JPEG shell so the
+            # marker-walk probe tier is exercised alongside the real
+            # decoders; bmp keeps the i % 8 == 0 slots (incl. media_id 0)
+            if i % 8 == 4:
+                payload = make_jpeg_shell(f"media{i}")
+                meta = {"media_type": "image", "format": "jpeg",
+                        "width": 8, "height": 8, "duration_ms": None}
+            else:
+                payload = make_bmp(f"media{i}")
+                meta = {"media_type": "image", "format": "bmp",
+                        "width": 8, "height": 8, "duration_ms": None}
         elif mtype == "png":
             payload = make_png(f"media{i}")
             meta = {"media_type": "image", "format": "png",

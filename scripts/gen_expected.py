@@ -306,6 +306,7 @@ def _png_pixels_manual(payload: bytes) -> np.ndarray:
 def _media_payload(i: int):
     from finance_sc_relations_spark.operators.multimodal import (
         make_bmp,
+        make_jpeg_shell,
         make_mp4,
         make_png,
         make_wav,
@@ -313,6 +314,8 @@ def _media_payload(i: int):
 
     mtype = ["image", "png", "audio", "video"][i % 4]
     if mtype == "image":
+        if i % 8 == 4:
+            return "jpeg", make_jpeg_shell(f"media{i}")
         return mtype, make_bmp(f"media{i}")
     if mtype == "png":
         return mtype, make_png(f"media{i}")
@@ -321,6 +324,32 @@ def _media_payload(i: int):
     return mtype, make_mp4(
         f"media{i}", duration_ms=3000 + (i % 3) * 1000, n_tracks=1 + (i // 4) % 2
     )
+
+
+def _jpeg_walk_manual(payload: bytes) -> dict:
+    """INDEPENDENT JPEG marker re-walk (different code from the operator's
+    _parse_jpeg): regex-free sequential scan using struct.unpack, returning
+    SOF dims/components and the entropy byte range."""
+    assert payload.startswith(b"\xff\xd8"), "no SOI"
+    i = 2
+    out = {}
+    while i < len(payload) - 1:
+        assert payload[i] == 0xFF
+        j = i
+        while payload[j] == 0xFF:
+            j += 1
+        marker = payload[j]
+        length, = struct.unpack_from(">H", payload, j + 1)
+        if marker in (0xC0, 0xC1, 0xC2):
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, j + 3)
+            out.update(width=w, height=h, n_components=nc, precision=prec)
+        if marker == 0xDA:
+            start = j + 1 + length
+            end = payload.rfind(b"\xff\xd9")
+            out.update(entropy_off=start, entropy_len=end - start)
+            break
+        i = j + 1 + length
+    return out
 
 
 def _mp4_walk_manual(payload: bytes) -> dict:
@@ -375,6 +404,14 @@ def gen_multimodal(n=30, feature_dim=8) -> pd.DataFrame:
             values = _bmp_pixels_manual(payload).astype(np.float32) / 255.0
             w, h = struct.unpack_from("<ii", payload, 18)
             px_probe = w * abs(h)
+        elif mtype == "jpeg":
+            jw = _jpeg_walk_manual(payload)
+            seg = np.frombuffer(
+                payload, np.uint8,
+                count=jw["entropy_len"], offset=jw["entropy_off"],
+            )
+            values = seg.astype(np.float32) / 255.0
+            px_probe = jw["width"] * jw["height"]
         elif mtype == "png":
             values = _png_pixels_manual(payload).astype(np.float32) / 255.0
             w, h = struct.unpack(">II", payload[16:24])

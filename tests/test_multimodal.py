@@ -199,7 +199,36 @@ def test_media_probe_parses_payload_not_metadata(spark):
     }
     assert rows[0] == {"width": 8, "height": 8}                    # bmp
     assert rows[1] == {"width": 8, "height": 8}                    # png
+    assert rows[4] == {"width": 8, "height": 8, "n_components": 3}  # jpeg
     assert rows[2] == {"rate_hz": AUDIO_RATE, "n_samples": 5000 * AUDIO_RATE // 1000}
     assert rows[3] == {"timescale": 1000, "duration_ms": 3000,
                        "n_tracks": 1, "mdat_bytes": 4096}
     assert rows[7]["duration_ms"] == 4000 and rows[7]["n_tracks"] == 2
+
+
+def test_jpeg_marker_walk_roundtrip():
+    """make_jpeg_shell emits a structurally valid JFIF stream; _parse_jpeg
+    recovers SOF dimensions/components and the entropy byte range, and
+    rejects non-JPEG bytes."""
+    import pytest
+
+    from finance_sc_relations_spark.operators.multimodal import (
+        _parse_jpeg,
+        _probe_metadata,
+        make_jpeg_shell,
+    )
+
+    p = make_jpeg_shell("j1", width=11, height=7, entropy_bytes=64)
+    info = _parse_jpeg(p)
+    assert (info["width"], info["height"]) == (11, 7)
+    assert info["n_components"] == 3 and info["precision"] == 8
+    ent = p[info["entropy_off"] : info["entropy_off"] + info["entropy_len"]]
+    assert len(ent) == 64 and b"\xff" not in ent  # FF remapped: no markers
+    assert p.endswith(b"\xff\xd9")
+    assert _probe_metadata(p, "image", "jpeg") == {
+        "width": 11, "height": 7, "n_components": 3
+    }
+    for junk in (b"", b"\xff\xd8", det_bytes("nope", 32)):
+        with pytest.raises(ValueError):
+            _parse_jpeg(junk)
+        assert _probe_metadata(junk, "image", "jpeg") == {}
