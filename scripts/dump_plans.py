@@ -27,7 +27,7 @@ SHOW = [
 def main() -> None:
     spark = build_session(master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = E.queries()
+    qs = {**E.queries(), **E.extra_queries()}
     out = [
         "# Physical plans of headline queries (sf0.01, AQE on)\n",
         "Note: fact-table reads go through ensure_parallelism, so plans at\n"
