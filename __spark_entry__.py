@@ -1080,13 +1080,17 @@ FROM read_parquet('{_EXPECTED_DIR}/doc_relations.parquet')
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal feature extraction with REAL stdlib decode kernels for
     bmp/png/wav (byte-offset BMP pixel parse; zlib IDAT inflate + full
-    None/Sub/Up/Average/Paeth scanline reconstruction; wave-module PCM) and
-    a digest stub for codec-needing mp4. The oracle decodes the same
-    payloads with DIFFERENT code (manual int.from_bytes header/chunk/RIFF
-    parsing and scalar unfiltering in scripts/gen_expected.py), so the
-    feature values — not just hashes — are cross-checked. Features
-    quantized to basis points for hash-stable comparison (per-element sum +
-    first element)."""
+    None/Sub/Up/Average/Paeth scanline reconstruction; wave-module PCM)
+    plus REAL metadata walks for mp4 (ISO-BMFF boxes; features from the
+    located mdat byte stream) and jpeg (T.81 markers; features from the
+    entropy-coded range) — only the codec-needing SAMPLE decodes remain
+    digest-stubbed. The oracle parses the same payloads with DIFFERENT
+    code (manual int.from_bytes header/chunk/RIFF parsing, scalar
+    unfiltering, recursive box walk, sequential marker scan in
+    scripts/gen_expected.py), so the feature values AND the payload-parsed
+    duration/track/pixel/sample probes — not just hashes — are
+    cross-checked. Features quantized to basis points for hash-stable
+    comparison (per-element sum + first element)."""
     from finance_sc_relations_spark.operators.multimodal import (
         extract_media_features,
         make_synthetic_media,
@@ -1135,9 +1139,12 @@ FROM read_parquet('{_EXPECTED_DIR}/multimodal_features.parquet')
 
 def _q_multimodal_frames(spark, sf_dir):
     """Frame/window sampling: REAL PCM slices for wav audio (the payload is
-    the decoded window's bytes), digest stub for mp4 video. Oracle: slices
-    recomputed from a manual RIFF parse (scripts/gen_expected.py); sha256 of
-    the frame payload keeps rows slim."""
+    the decoded window's bytes) and REAL duration-proportional mdat byte
+    ranges for mp4 video, with the sampling grid driven by the parsed mvhd
+    duration (overriding the synthetic corpus's deliberately-stale struct
+    metadata). Oracle: slices recomputed from a manual RIFF parse and an
+    independent ISO-BMFF re-walk (scripts/gen_expected.py); sha256 of the
+    frame payload keeps rows slim."""
     from finance_sc_relations_spark.operators.multimodal import (
         make_synthetic_media,
         sample_frames,

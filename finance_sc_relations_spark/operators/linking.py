@@ -137,7 +137,12 @@ def _cands_from_sims(sims, items, cand_thresh, match_thresh, top_k):
     (reporter.py:224-227). Match-level items are matches, never
     candidates. Shared by both linking tiers so they emit identical lists."""
     cands = []
-    for idx in np.argsort(-sims):
+    # stable sort: exact score ties (identical alias forms from different
+    # entities encode to identical vectors) must break by ascending block
+    # index, matching the independent oracle's (-score, index) order —
+    # quicksort's unstable tie order could otherwise admit a different
+    # tied form when a tie straddles the top_k cutoff
+    for idx in np.argsort(-sims, kind="stable"):
         s = float(sims[idx])
         if s < cand_thresh or len(cands) >= top_k:
             break

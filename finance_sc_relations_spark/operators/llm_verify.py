@@ -195,7 +195,12 @@ class HttpLLMAnnotator:
         content = self._completion(self.PROMPT.format(sentence=masked))
         triples: List[List[str]] = []
         for m in _TRIPLE_LINE.finditer(content):
-            a, rel, b = m.group(1), m.group(2).lower(), m.group(3)
+            # the regex is case-insensitive, so canonicalize the captured
+            # mask casing ('company0' -> 'Company0') before the mapping
+            # lookup — LLM casing drift must not drop real relations
+            a = "Company" + m.group(1)[7:]
+            b = "Company" + m.group(3)[7:]
+            rel = m.group(2).lower()
             if a not in mapping or b not in mapping or a == b:
                 continue
             if rel == "customer":  # normalize to supplier-directed triples

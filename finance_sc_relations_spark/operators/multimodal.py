@@ -224,9 +224,13 @@ def _parse_jpeg(payload: bytes) -> dict:
             raise ValueError("JPEG marker desync")
         while pos < len(payload) and payload[pos] == 0xFF:
             pos += 1  # FF fill bytes are legal padding
+        if pos + 3 > len(payload):  # marker byte + 2-byte length must fit
+            raise ValueError("truncated JPEG marker segment")
         marker = payload[pos]
         pos += 1
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 frame header
+            if pos + 8 > len(payload):
+                raise ValueError("truncated JPEG SOF header")
             out["precision"] = payload[pos + 2]
             out["height"] = int.from_bytes(payload[pos + 3 : pos + 5], "big")
             out["width"] = int.from_bytes(payload[pos + 5 : pos + 7], "big")
@@ -245,6 +249,10 @@ def _parse_jpeg(payload: bytes) -> dict:
         pos += seg_len
     if out["width"] is None:
         raise ValueError("JPEG missing SOF frame header")
+    if out["entropy_off"] is None:
+        # headers-only stream (e.g. truncated before SOS): not a parse the
+        # feature path can use — fail to the digest stub, don't crash later
+        raise ValueError("JPEG missing SOS entropy segment")
     return out
 
 
@@ -288,6 +296,13 @@ def _parse_mp4(payload: bytes) -> dict:
         elif btype == b"moov":
             for ctype, cbody, cend in boxes(payload, body, bend):
                 if ctype == b"mvhd":
+                    # v0 needs 20 bytes to reach duration, v1 needs 32 —
+                    # reject shorter (e.g. empty) boxes instead of
+                    # indexing past them
+                    if cend - cbody < 20 or (
+                        payload[cbody] == 1 and cend - cbody < 32
+                    ):
+                        raise ValueError("truncated mvhd box")
                     version = payload[cbody]
                     if version == 1:  # 64-bit times
                         ts_off, dur_off, dur_n = cbody + 20, cbody + 24, 8
@@ -307,75 +322,69 @@ def _parse_mp4(payload: bytes) -> dict:
     return out
 
 
-def _decode_values(payload: bytes, media_type: str, fmt: str | None) -> np.ndarray:
-    """Unified decode -> float values in [0, 1] (pixels /255, samples
-    mapped from [-1,1]; mp4 feature source = the REAL mdat byte stream
-    located by the BMFF walk; digest stubs /255)."""
-    if media_type == "image" and fmt == "bmp":
-        return _decode_bmp(payload).ravel() / 255.0
-    if media_type == "image" and fmt == "png":
-        return _decode_png(payload).ravel() / 255.0
-    if media_type == "audio" and fmt == "wav":
-        samples, _ = _decode_wav(payload)
-        return (samples.astype(np.float32) / 32768.0 + 1.0) / 2.0
-    if media_type == "video" and fmt == "mp4":
-        try:
-            info = _parse_mp4(payload)
-        except ValueError:
-            return _decode_stub(payload) / 255.0
-        mdat = np.frombuffer(
-            payload, np.uint8, count=info["mdat_len"], offset=info["mdat_off"]
-        )
-        return mdat.astype(np.float32) / 255.0
-    if media_type == "image" and fmt == "jpeg":
-        # feature source = the REAL entropy-coded byte range located by the
-        # marker walk (sample decode itself stays stubbed: needs a codec)
-        try:
-            info = _parse_jpeg(payload)
-        except ValueError:
-            return _decode_stub(payload) / 255.0
-        seg = np.frombuffer(
-            payload, np.uint8,
-            count=info["entropy_len"], offset=info["entropy_off"],
-        )
-        return seg.astype(np.float32) / 255.0
-    return _decode_stub(payload) / 255.0
-
-
-def _probe_metadata(payload: bytes, media_type: str, fmt: str | None) -> dict:
-    """Format-specific integers parsed from the payload itself (never
-    copied from the metadata struct — the probe is how the pipeline audits
-    that metadata): bmp/png header dims, wav rate/samples, mp4
-    timescale/duration/track/mdat figures. {} for digest-stub formats or
-    unparsable payloads."""
+def _decode_and_probe(
+    payload: bytes, media_type: str, fmt: str | None
+) -> tuple[np.ndarray, dict]:
+    """ONE parse per payload -> (feature value stream in [0, 1],
+    payload-parsed metadata probe). The probe integers come from the
+    payload itself (never copied from the metadata struct — the probe is
+    how the pipeline audits that metadata): bmp/png header dims, wav
+    rate/samples, jpeg SOF dims, mp4 timescale/duration/track/mdat
+    figures. Unparsable/stub formats fall back to (digest block, {}).
+    Kept single-pass on purpose: this runs per row inside the hot
+    mapInPandas stage, and payload decode dominates its cost."""
     try:
-        if media_type == "image" and fmt == "jpeg":
-            info = _parse_jpeg(payload)
-            return {
-                "width": info["width"],
-                "height": info["height"],
-                "n_components": info["n_components"],
-            }
         if media_type == "image" and fmt == "bmp":
-            w, h = struct.unpack_from("<ii", payload, 18)
-            return {"width": w, "height": abs(h)}
+            block = _decode_bmp(payload)
+            h, w = block.shape[0], block.shape[1]
+            return block.ravel() / 255.0, {"width": w, "height": h}
         if media_type == "image" and fmt == "png":
-            w, h = struct.unpack(">II", payload[16:24])
-            return {"width": w, "height": h}
+            block = _decode_png(payload)
+            h, w = block.shape[0], block.shape[1]
+            return block.ravel() / 255.0, {"width": w, "height": h}
         if media_type == "audio" and fmt == "wav":
             samples, rate = _decode_wav(payload)
-            return {"rate_hz": rate, "n_samples": len(samples)}
+            values = (samples.astype(np.float32) / 32768.0 + 1.0) / 2.0
+            return values, {"rate_hz": rate, "n_samples": len(samples)}
         if media_type == "video" and fmt == "mp4":
             info = _parse_mp4(payload)
-            return {
+            mdat = np.frombuffer(
+                payload, np.uint8,
+                count=info["mdat_len"], offset=info["mdat_off"],
+            )
+            return mdat.astype(np.float32) / 255.0, {
                 "timescale": info["timescale"],
                 "duration_ms": info["duration_ms"],
                 "n_tracks": info["n_tracks"],
                 "mdat_bytes": info["mdat_len"],
             }
-    except (ValueError, struct.error):
-        return {}
-    return {}
+        if media_type == "image" and fmt == "jpeg":
+            # feature source = the REAL entropy-coded byte range located by
+            # the marker walk (sample decode stays stubbed: needs a codec)
+            info = _parse_jpeg(payload)
+            seg = np.frombuffer(
+                payload, np.uint8,
+                count=info["entropy_len"], offset=info["entropy_off"],
+            )
+            return seg.astype(np.float32) / 255.0, {
+                "width": info["width"],
+                "height": info["height"],
+                "n_components": info["n_components"],
+            }
+    except (ValueError, IndexError, struct.error, EOFError, wave.Error):
+        pass
+    return _decode_stub(payload) / 255.0, {}
+
+
+def _decode_values(payload: bytes, media_type: str, fmt: str | None) -> np.ndarray:
+    """Feature value stream only (single-parse core: _decode_and_probe)."""
+    return _decode_and_probe(payload, media_type, fmt)[0]
+
+
+def _probe_metadata(payload: bytes, media_type: str, fmt: str | None) -> dict:
+    """Payload-parsed metadata probe only (single-parse core:
+    _decode_and_probe)."""
+    return _decode_and_probe(payload, media_type, fmt)[1]
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +406,9 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 payload = bytes(rec.payload)
                 meta = rec.meta or {}
                 mtype, fmt = meta.get("media_type"), meta.get("format")
-                values = _decode_values(payload, mtype, fmt)
+                # ONE parse serves both features and probe (decode is the
+                # dominant per-row cost in this stage)
+                values, probe = _decode_and_probe(payload, mtype, fmt)
                 vec = np.array(
                     [b.mean() if b.size else 0.0
                      for b in np.array_split(values, feature_dim)],
@@ -407,7 +418,7 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 nbytes.append(len(payload))
                 shas.append(hashlib.sha256(payload).hexdigest())
                 feats.append(vec)
-                probes.append(_probe_metadata(payload, mtype, fmt))
+                probes.append(probe)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -467,7 +478,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         # the PARSED duration is authoritative over struct
                         # metadata — that is the point of the box walk
                         duration = mp4["duration_ms"]
-                    except ValueError:
+                    except (ValueError, IndexError, struct.error):
                         mp4 = None
                 for i, off in enumerate(range(0, int(duration), every_ms)):
                     if is_wav:

@@ -807,7 +807,12 @@ def gen_kg_negatives(k=2, max_pool=500, seed=42) -> pd.DataFrame:
         JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
         JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
         JOIN '{SF}/supplier.parquet' sup ON l.l_suppkey = sup.s_suppkey
+        ORDER BY s, o
     """).df()
+    # ORDER BY: DuckDB's parallel hash-distinct emits nondeterministic row
+    # order; without it every regeneration churns kg_negatives.parquet
+    # bytes even when this generator is unchanged (the driver compare
+    # sorts, but byte-stable goldens keep diffs auditable)
 
     def h64(*parts):
         return int.from_bytes(

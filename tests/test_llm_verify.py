@@ -355,3 +355,17 @@ def test_http_annotator_ignores_unknown_masks_and_garbage():
         assert triples == [["B", "supplier", "Ax"]]
     finally:
         server.close()
+
+
+def test_http_annotator_canonicalizes_mask_casing():
+    """LLM casing drift ('company0') must not drop relations: captured mask
+    tokens are canonicalized before the mapping lookup."""
+    from finance_sc_relations_spark.operators.llm_verify import HttpLLMAnnotator
+
+    server = _StubChatServer("company1 supplier of COMPANY0")
+    try:
+        ann = HttpLLMAnnotator(server.url, backoff_s=0.01)
+        triples = ann.annotate("B buys from Ax.", ["Ax", "B"])
+        assert triples == [["B", "supplier", "Ax"]]
+    finally:
+        server.close()

@@ -232,3 +232,39 @@ def test_jpeg_marker_walk_roundtrip():
         with pytest.raises(ValueError):
             _parse_jpeg(junk)
         assert _probe_metadata(junk, "image", "jpeg") == {}
+
+
+def test_malformed_payloads_fall_back_to_stub_not_crash():
+    """Corrupt/truncated payloads of every declared format must hit the
+    digest-stub (values) / empty-probe fallback — never raise out of the
+    mapInPandas row loop (one bad web-scale payload must not kill a task).
+    Repro inputs from the round-5 review: FF-fill run-off jpeg, headers-only
+    jpeg (no SOS), empty-mvhd mp4."""
+    from finance_sc_relations_spark.operators.multimodal import (
+        _decode_and_probe,
+        _decode_stub,
+        make_jpeg_shell,
+    )
+
+    ff_runoff = b"\xff\xd8" + b"\xff" * 8
+    full = make_jpeg_shell("trunc", width=8, height=8)
+    headers_only = full[: full.index(b"\xff\xda")]
+    # moov contains a box claiming type mvhd with an empty (size-8) body
+    empty_mvhd = (
+        (16).to_bytes(4, "big") + b"ftyp" + b"isom" + bytes(4)
+        + (16).to_bytes(4, "big") + b"moov"
+        + (8).to_bytes(4, "big") + b"mvhd"
+    )
+    cases = [
+        (ff_runoff, "image", "jpeg"),
+        (headers_only, "image", "jpeg"),
+        (b"\xff\xd8", "image", "jpeg"),
+        (empty_mvhd, "video", "mp4"),
+        (b"BM" + b"\x00" * 6, "image", "bmp"),
+        (b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, "image", "png"),
+        (b"RIFFxxxx", "audio", "wav"),
+    ]
+    for payload, mtype, fmt in cases:
+        values, probe = _decode_and_probe(payload, mtype, fmt)
+        assert probe == {}, (mtype, fmt)
+        assert (values == _decode_stub(payload) / 255.0).all(), (mtype, fmt)
