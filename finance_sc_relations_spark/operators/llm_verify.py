@@ -393,16 +393,28 @@ VERIFY_SCHEMA = StructType(
 )
 
 
-def verify_relations(scored_pairs_with_sentence: DataFrame) -> DataFrame:
+def verify_relations(
+    scored_pairs_with_sentence: DataFrame, annotator_factory=None
+) -> DataFrame:
     """For each classified pair (needs columns sentence_id, r_id, sentence,
     org_groups, entity1, entity2, relation): annotate the sentence with the
-    rule-LLM and flag directional agreement (G3+G4 composed).
+    configured annotator and flag directional agreement (G3+G4 composed).
+
+    annotator_factory: zero-arg callable built ON THE EXECUTOR (one
+    annotator per task) returning any object with
+    annotate(sentence, orgs) -> triples. Default: the deterministic
+    RuleLLMAnnotator. Pass e.g.
+    `lambda: HttpLLMAnnotator(endpoint, api_key=...)` to run the
+    verification stage against a real chat-completion service — the
+    factory closure ships tiny config strings, never sockets.
 
     The emitted `llm_aligned` flag is the conflict-report analog of
     src/stages/evaluate.py:156-160."""
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        annotator = RuleLLMAnnotator()
+        annotator = (
+            annotator_factory() if annotator_factory else RuleLLMAnnotator()
+        )
         matcher = HashEmbedder()
         for batch in batches:
             out = []

@@ -369,3 +369,51 @@ def test_http_annotator_canonicalizes_mask_casing():
         assert triples == [["B", "supplier", "Ax"]]
     finally:
         server.close()
+
+
+def test_verify_relations_stage_rule_and_http(spark):
+    """The Spark verification stage end to end: mapInPandas over classified
+    pairs, default rule annotator AND the HTTP factory against the local
+    stub — llm_aligned flags directional agreement either way."""
+    from finance_sc_relations_spark.operators.llm_verify import (
+        HttpLLMAnnotator,
+        verify_relations,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # sentence asserts Acme supplies Zenith; prediction says
+            # entity2=Acme is the supplier of entity1=Zenith -> aligned
+            ("s1", "s1_0", "Acme Corp supplies components to Zenith Holdings.",
+             {"Acme Corp": 0, "Zenith Holdings": 1}, "Zenith Holdings",
+             "Acme Corp", "supplier"),
+            # prediction claims the reverse direction -> conflict
+            ("s2", "s2_0", "Acme Corp supplies components to Zenith Holdings.",
+             {"Acme Corp": 0, "Zenith Holdings": 1}, "Acme Corp",
+             "Zenith Holdings", "supplier"),
+        ],
+        "sentence_id string, r_id string, sentence string,"
+        " org_groups map<string,int>, entity1 string, entity2 string,"
+        " relation string",
+    )
+    rule_rows = {
+        r["r_id"]: r["llm_aligned"] for r in verify_relations(pairs).collect()
+    }
+    assert rule_rows == {"s1_0": True, "s2_0": False}
+
+    # HTTP path: mask ids are longest-first (Company0 = Zenith Holdings);
+    # the canned completion asserts Acme (Company1) supplies Zenith
+    server = _StubChatServer("Company1 supplier of Company0")
+    try:
+        url = server.url
+        http_rows = {
+            r["r_id"]: r["llm_aligned"]
+            for r in verify_relations(
+                pairs,
+                annotator_factory=lambda: HttpLLMAnnotator(url, backoff_s=0.01),
+            ).collect()
+        }
+        assert http_rows == {"s1_0": True, "s2_0": False}
+        assert len(server.requests) >= 1  # the stage really hit the wire
+    finally:
+        server.close()
