@@ -108,7 +108,10 @@ class WordPieceTokenizer:
         vocab: dict[str, int] = {}
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                token = line.rstrip("\n")
+                # strip \r too: CRLF vocab files (Windows-tooling transit)
+                # must not yield '[PAD]\r' tokens that fail the specials
+                # check with a misleading error
+                token = line.rstrip("\r\n")
                 if token:
                     vocab[token] = i
         return cls(vocab, added_tokens=added_tokens)

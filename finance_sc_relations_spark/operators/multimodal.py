@@ -33,6 +33,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -132,8 +133,6 @@ def _decode_png(payload: bytes) -> np.ndarray:
     pixel block via stdlib zlib — chunk walk (IHDR/IDAT/IEND), inflate,
     then per-scanline filter reconstruction: None(0), Sub(1), Up(2),
     Average(3), Paeth(4)."""
-    import zlib
-
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -348,16 +347,21 @@ def _decode_and_probe(
             return values, {"rate_hz": rate, "n_samples": len(samples)}
         if media_type == "video" and fmt == "mp4":
             info = _parse_mp4(payload)
-            mdat = np.frombuffer(
-                payload, np.uint8,
-                count=info["mdat_len"], offset=info["mdat_off"],
-            )
-            return mdat.astype(np.float32) / 255.0, {
+            probe = {
                 "timescale": info["timescale"],
                 "duration_ms": info["duration_ms"],
                 "n_tracks": info["n_tracks"],
                 "mdat_bytes": info["mdat_len"],
             }
+            if info["mdat_off"] is None:
+                # valid metadata but no media data (e.g. a DASH/fMP4 init
+                # segment): keep the real probe, stub the feature stream
+                return _decode_stub(payload) / 255.0, probe
+            mdat = np.frombuffer(
+                payload, np.uint8,
+                count=info["mdat_len"], offset=info["mdat_off"],
+            )
+            return mdat.astype(np.float32) / 255.0, probe
         if media_type == "image" and fmt == "jpeg":
             # feature source = the REAL entropy-coded byte range located by
             # the marker walk (sample decode stays stubbed: needs a codec)
@@ -371,7 +375,10 @@ def _decode_and_probe(
                 "height": info["height"],
                 "n_components": info["n_components"],
             }
-    except (ValueError, IndexError, struct.error, EOFError, wave.Error):
+    except (
+        ValueError, IndexError, struct.error, EOFError, wave.Error,
+        zlib.error,
+    ):
         pass
     return _decode_stub(payload) / 255.0, {}
 
@@ -432,7 +439,9 @@ def extract_media_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.mapInPandas(_map, schema=FEATURE_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 10_000
+) -> DataFrame:
     """Frame/window sampling: one row per sampled offset of every item with
     a duration (offsets from typed metadata, which IS real).
 
@@ -442,8 +451,16 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
       sampling grid (overriding stale struct metadata), and the frame
       payload is the duration-proportional mdat byte range for the window
       — the coarse stand-in for a sample-table (stts/stsz/stco) seek; a
-      full codec decode of the seeked frame still needs ffmpeg;
+      full codec decode of the seeked frame still needs ffmpeg; an
+      mdat-less stream (DASH/fMP4 init segment) keeps the parsed duration
+      but falls to digest frames;
     - unparsable/other video: deterministic digest of (payload, offset).
+
+    max_frames caps rows per item: durations are payload-parsed, so one
+    corrupt/hostile mvhd (timescale=1, duration=2^32) must not make a
+    single row explode into billions of frames and wedge its executor —
+    10,000 frames covers ~2.8 h of video at 1 fps; raise it deliberately
+    for long-form media.
 
     Output: (media_id, frame_index, offset_ms, frame_payload)."""
     schema = StructType(
@@ -478,8 +495,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         # the PARSED duration is authoritative over struct
                         # metadata — that is the point of the box walk
                         duration = mp4["duration_ms"]
+                        if mp4["mdat_off"] is None:
+                            # metadata-only stream: keep the parsed
+                            # duration, emit digest frames
+                            mp4 = None
                     except (ValueError, IndexError, struct.error):
                         mp4 = None
+                # hostile-duration guard: payload-parsed durations are
+                # attacker-controlled at web scale
+                duration = min(int(duration), every_ms * max_frames)
                 for i, off in enumerate(range(0, int(duration), every_ms)):
                     if is_wav:
                         lo = off * rate // 1000

@@ -241,15 +241,24 @@ def token_cooccurrence(
             F.col("df").asc(), F.col("token").asc()
         )
         # one materialization serves the kept rows (both pair-join legs)
-        # AND the dropped count — no second pass over the ranked subtree
+        # AND the dropped count — no second pass over the ranked subtree.
+        # persist, NOT localCheckpoint: now that the cap is the DEFAULT this
+        # branch runs on every call, and a checkpoint of the corpus-sized
+        # (doc, token) table would be unrecoverable on executor loss —
+        # exactly the failure mode the pipeline's persist swap avoids;
+        # persist keeps lineage and its blocks are ContextCleaner-managed
+        from pyspark import StorageLevel
+
         ranked = (
             tokens.join(vocab, "token")
             .withColumn("_rn", F.row_number().over(wd))
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         kept = ranked.filter(F.col("_rn") <= max_tokens_per_doc).select(
             "doc", "token"
         )
+        # the drop log costs one action over the now-cached table ("no
+        # silent caps"); it also primes the cache the pair-join legs read
         dropped = ranked.filter(F.col("_rn") > max_tokens_per_doc).count()
         if dropped:
             _LOG.warning(

@@ -268,3 +268,66 @@ def test_malformed_payloads_fall_back_to_stub_not_crash():
         values, probe = _decode_and_probe(payload, mtype, fmt)
         assert probe == {}, (mtype, fmt)
         assert (values == _decode_stub(payload) / 255.0).all(), (mtype, fmt)
+
+
+def test_second_review_fallbacks(spark):
+    """Round-5 second-review repros: mdat-less mp4 (init-segment shape)
+    keeps its real probe but stubs features and digests frames; corrupt
+    PNG DEFLATE falls to the stub; a hostile mvhd duration is capped
+    instead of exploding one row into billions of frames."""
+    import pytest
+
+    from finance_sc_relations_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_and_probe,
+        _decode_stub,
+        make_mp4,
+        make_png,
+    )
+
+    # mdat-less mp4: strip the trailing mdat box make_mp4 appends
+    full = make_mp4("init", duration_ms=3000, n_tracks=1)
+    mdat_at = full.rindex(b"mdat") - 4
+    init_seg = full[:mdat_at]
+    values, probe = _decode_and_probe(init_seg, "video", "mp4")
+    assert probe["duration_ms"] == 3000 and probe["mdat_bytes"] == 0
+    assert (values == _decode_stub(init_seg) / 255.0).all()
+
+    # corrupt IDAT: zlib.error must route to the stub, not kill the task
+    png = bytearray(make_png("zc"))
+    idat_at = bytes(png).index(b"IDAT") + 4
+    png[idat_at : idat_at + 8] = b"\x00" * 8
+    values, probe = _decode_and_probe(bytes(png), "image", "png")
+    assert probe == {}
+    assert (values == _decode_stub(bytes(png)) / 255.0).all()
+
+    # hostile duration: timescale=1 second-units, duration=2^31 "seconds"
+    hostile = make_mp4("evil", duration_ms=2**31 * 1000, timescale=1)
+    rows = (
+        sample_frames(
+            spark.createDataFrame(
+                [(0, hostile, {"media_type": "video", "format": "mp4",
+                               "width": None, "height": None,
+                               "duration_ms": 5000})],
+                schema=MEDIA_SCHEMA,
+            ),
+            every_ms=1000,
+            max_frames=50,
+        )
+        .count()
+    )
+    assert rows == 50
+
+    # mdat-less mp4 through the frame sampler: parsed duration, digest frames
+    frames = sample_frames(
+        spark.createDataFrame(
+            [(0, init_seg, {"media_type": "video", "format": "mp4",
+                            "width": None, "height": None,
+                            "duration_ms": 5000})],
+            schema=MEDIA_SCHEMA,
+        ),
+        every_ms=1000,
+    ).collect()
+    assert len(frames) == 3  # parsed 3000ms grid, not the stale 5000ms
+    assert len({bytes(r["frame_payload"]) for r in frames}) == 3  # digests
+

@@ -296,3 +296,20 @@ def test_score_ids_batch_padded_mask_seam(spark, re_tok_bc):
         want = get_e1e2_start_ids(ids, e1_id, e2_id)
         assert rows[sid] == [want[0], want[1], len(ids)], sid
     assert rows["s1"][2] != rows["s2"][2]  # true lengths, not batch max
+
+
+def test_vocab_file_crlf_line_endings(tmp_path):
+    """A CRLF-encoded vocab.txt (Windows-tooling transit) must load
+    identically to the LF form."""
+    from pathlib import Path
+
+    from finance_sc_relations_spark.functions.wordpiece import (
+        WordPieceTokenizer,
+    )
+
+    src = Path(__file__).parent / "fixtures" / "vocab_mini.txt"
+    crlf = tmp_path / "vocab_crlf.txt"
+    crlf.write_bytes(src.read_bytes().replace(b"\n", b"\r\n"))
+    a = WordPieceTokenizer.from_vocab_file(src)
+    b = WordPieceTokenizer.from_vocab_file(crlf)
+    assert a.vocab == b.vocab
