@@ -270,8 +270,6 @@ def test_cfg_signature_model_path_content_keys(tmp_path):
     """A retrained model.pth.tar REWRITTEN TO THE SAME PATH must change the
     resume fingerprint (ADVICE r4): the path string alone would silently
     resume stale scored/triple stages against the new weights."""
-    import os
-
     from finance_sc_relations_spark.operators.models import (
         ConstantModel,
         save_model_checkpoint,
