@@ -254,23 +254,32 @@ def encode_with_markers(
     return encoded, starts
 
 
-def pad_batch(encoded, pad_id: int):
-    """Batch-max padding + attention mask — the Pad_Sequence semantics of
-    the reference's collate step (src/relation_extraction/
-    preprocessing_funcs.py:233-285): ragged id lists become one (B, L)
-    int64 matrix padded with `pad_id` to the BATCH max length, with a (B, L)
-    0/1 attention mask (1 = real token). This is exactly the
-    (input_ids, attention_mask) pair a transformer forward consumes; the
-    contract every score_ids_batch implementation receives."""
+def pad_batch(encoded, pad_id: int, width: int | None = None):
+    """Padding + attention mask. Default (width=None): pad to the BATCH max
+    — the Pad_Sequence semantics of the RE collate step
+    (src/relation_extraction/preprocessing_funcs.py:233-285). With `width`:
+    pad every row to that FIXED length — the SC classifier's
+    batch_encode_plus(padding='max_length') semantics
+    (src/sc_classifier/processing/tokenizers.py:14-44). Ragged id lists
+    become one (B, L) int64 matrix padded with `pad_id`, plus a (B, L) 0/1
+    attention mask (1 = real token) — exactly the
+    (input_ids, attention_mask) pair a transformer forward consumes."""
     import numpy as np
 
     if not encoded:
+        w = width or 0
         return (
-            np.zeros((0, 0), dtype=np.int64),
-            np.zeros((0, 0), dtype=np.int64),
+            np.zeros((0, w), dtype=np.int64),
+            np.zeros((0, w), dtype=np.int64),
         )
     lengths = [len(ids) for ids in encoded]
-    width = max(lengths)
+    if width is None:
+        width = max(lengths)
+    elif width < max(lengths):
+        raise ValueError(
+            f"fixed width {width} < longest row {max(lengths)} — encode "
+            "with max_length<=width before padding"
+        )
     mat = np.full((len(encoded), width), pad_id, dtype=np.int64)
     mask = np.zeros((len(encoded), width), dtype=np.int64)
     for i, ids in enumerate(encoded):

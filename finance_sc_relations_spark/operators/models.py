@@ -272,6 +272,39 @@ class MarkerProbeModel:
         )
 
 
+class SCProbeModel:
+    """Contract probe for the SC token-ID seam: a binary classifier
+    exposing score_ids_batch(ids, attention_mask) receives the encoded
+    form sec-bert consumes — a (B, max_length) FIXED-WIDTH id matrix
+    (batch_encode_plus padding='max_length',
+    src/sc_classifier/processing/tokenizers.py:14-44) plus its 0/1 mask.
+    Validates the contract on every call and echoes
+    (neg=width, pos=true_length) so tests can assert exactly what reached
+    the model; score_batch raises, proving the string path is bypassed
+    when a tokenizer is wired."""
+
+    num_labels = 2
+
+    def score_ids_batch(self, ids, attention_mask) -> np.ndarray:
+        ids = np.asarray(ids)
+        mask = np.asarray(attention_mask)
+        assert ids.shape == mask.shape and ids.ndim == 2, (ids.shape, mask.shape)
+        assert set(np.unique(mask)) <= {0, 1}
+        out = np.zeros((ids.shape[0], 2), dtype=np.float32)
+        for i in range(ids.shape[0]):
+            n = int(mask[i].sum())
+            assert mask[i, :n].all() and not mask[i, n:].any(), mask[i]
+            pad_cells = ids[i, n:]
+            assert pad_cells.size == 0 or (pad_cells == pad_cells[0]).all()
+            out[i] = (ids.shape[1], n)
+        return out
+
+    def score_batch(self, texts: Sequence[str]) -> np.ndarray:
+        raise AssertionError(
+            "SCProbeModel.score_batch called — tokenizer path not wired"
+        )
+
+
 class ConstantModel:
     """Contract/debug scorer: one fixed score row for every input. Exists so
     the broadcast-checkpoint seam (serialize_model/model_from_broadcast) can

@@ -20,11 +20,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import FloatType, IntegerType, StructField, StructType
 
-from .models import get_sc_model
+from .models import get_sc_model, model_from_broadcast
 
 
-def sc_classify(mentions: DataFrame) -> DataFrame:
-    """Append (sc_label, sc_score) columns via an Arrow-batched scorer."""
+def sc_classify(
+    mentions: DataFrame,
+    model_broadcast=None,
+    tokenizer_broadcast=None,
+    max_length: int | None = 512,
+) -> DataFrame:
+    """Append (sc_label, sc_score) columns via an Arrow-batched scorer.
+
+    model_broadcast: optional sc.broadcast(serialize_model(...)) — the
+    sec-bert drop-in seam (loaded once per executor, exactly like the RE
+    head's). tokenizer_broadcast: optional broadcast WordPieceTokenizer —
+    enables the reference's C2 preprocessing
+    (src/sc_classifier/processing/tokenizers.py:14-44 batch_encode_plus:
+    truncate to max_length, pad to the FIXED max_length width): sentences
+    are encoded and models exposing score_ids_batch(ids, attention_mask)
+    receive the (B, max_length) id matrix + 0/1 mask; other models keep
+    the string path. No marker indexing or row dropping here — the SC
+    head pools [CLS], so truncation never invalidates a row."""
     schema = StructType(
         mentions.schema.fields
         + [
@@ -34,11 +50,30 @@ def sc_classify(mentions: DataFrame) -> DataFrame:
     )
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = get_sc_model()
+        model = (
+            model_from_broadcast(model_broadcast)
+            if model_broadcast is not None
+            else get_sc_model()
+        )
+        tok = (
+            tokenizer_broadcast.value
+            if tokenizer_broadcast is not None
+            else None
+        )
         for batch in batches:
             if len(batch) == 0:
                 continue
-            scores = model.score_batch(batch["sentence"].tolist())
+            sents = batch["sentence"].tolist()
+            if tok is not None and hasattr(model, "score_ids_batch"):
+                from ..functions.wordpiece import pad_batch
+
+                encoded = [tok.encode(s, max_length=max_length) for s in sents]
+                ids, mask = pad_batch(
+                    encoded, tok.pad_token_id, width=max_length
+                )
+                scores = model.score_ids_batch(ids, mask)
+            else:
+                scores = model.score_batch(sents)
             out = batch.copy()
             out["sc_label"] = scores.argmax(axis=1).astype("int32")
             out["sc_score"] = scores.max(axis=1).astype("float32")

@@ -185,3 +185,62 @@ def test_extreme_skew_salted_aggregation(spark):
     assert hot.iloc[0]["score"] == pytest.approx(270 * 0.97, rel=1e-6)
     cold = g[g.n_evidence == 30]
     assert len(cold) == 1
+
+
+def test_sc_token_id_seam(spark):
+    """The SC classifier's C2 contract (tokenizers.py:14-44
+    batch_encode_plus: truncate to max_length, pad to the FIXED width): a
+    model exposing score_ids_batch(ids, attention_mask) receives a
+    (B, max_length) matrix + mask through the broadcast-model seam;
+    SCProbeModel validates the contract and echoes (width, true_length)."""
+    from finance_sc_relations_spark.functions.wordpiece import (
+        build_re_tokenizer,
+    )
+    from finance_sc_relations_spark.operators.models import (
+        SCProbeModel,
+        serialize_model,
+    )
+    from finance_sc_relations_spark.operators.sc_classifier import sc_classify
+
+    sents = [
+        "acme supplies widgets to zenith",
+        "acme supplies widgets to zenith " + " ".join(["filler"] * 80),
+    ]
+    tok = build_re_tokenizer(sents, vocab_size=300, min_freq=1)
+    tok_bc = spark.sparkContext.broadcast(tok)
+    model_bc = spark.sparkContext.broadcast(
+        serialize_model("sc_probe", SCProbeModel())
+    )
+    mentions = spark.createDataFrame(
+        [(f"s{i}", s) for i, s in enumerate(sents)],
+        "sentence_id string, sentence string",
+    ).coalesce(1)
+    rows = {
+        r["sentence_id"]: (int(r["sc_label"]), float(r["sc_score"]))
+        for r in sc_classify(
+            mentions,
+            model_broadcast=model_bc,
+            tokenizer_broadcast=tok_bc,
+            max_length=32,
+        ).collect()
+    }
+    short_len = len(tok.encode(sents[0], max_length=32))
+    # probe echoes (neg=width, pos=true_length); label=argmax, score=max
+    assert rows["s0"] == (0, 32.0)  # width 32 > short true length
+    assert short_len < 32
+    # the long sentence saturates max_length: true length == width == 32,
+    # argmax breaks to label 0 with score 32
+    assert rows["s1"] == (0, 32.0)
+
+    # per-row detail through a direct probe call: true lengths differ
+    from finance_sc_relations_spark.functions.wordpiece import pad_batch
+
+    enc = [tok.encode(s, max_length=32) for s in sents]
+    ids, mask = pad_batch(enc, tok.pad_token_id, width=32)
+    scores = SCProbeModel().score_ids_batch(ids, mask)
+    assert scores[0].tolist() == [32.0, float(short_len)]
+    assert scores[1].tolist() == [32.0, 32.0]
+
+    # without a tokenizer the string path still runs (lexical default)
+    plain = sc_classify(mentions).collect()
+    assert {r["sc_label"] for r in plain} == {1}  # supply cue present
