@@ -314,6 +314,9 @@ def detect_mentions(
     company_dict,
     include_spans: bool = True,
     with_sc: bool = False,
+    sc_model_broadcast=None,
+    sc_tokenizer_broadcast=None,
+    sc_max_length: int | None = 512,
 ) -> DataFrame:
     """sentences(url, sentence_id, sentence, ...) -> mentions.
 
@@ -326,6 +329,10 @@ def detect_mentions(
     with_sc=True fuses the supply-chain sentence scorer into this same pass,
     saving a full JVM<->Arrow round trip of every sentence batch (profiling
     showed Arrow serialization, not Python compute, dominating CPU).
+    sc_model_broadcast / sc_tokenizer_broadcast / sc_max_length: the C1-C3
+    drop-in seam, identical to sc_classify's (shared sc_scores kernel —
+    a real sec-bert checkpoint reaches the PRODUCTION fused path with no
+    dataflow change).
     """
     spark = sentences.sparkSession
     pdf = (
@@ -339,8 +346,6 @@ def detect_mentions(
         forms.extend(list(row["aliases"] or []))
     bc = spark.sparkContext.broadcast(forms)
 
-    if with_sc:
-        from .models import get_sc_model
     fields = [f for f in MENTION_SCHEMA.fields if include_spans or f.name != "spans"]
     if with_sc:
         fields += [
@@ -352,6 +357,15 @@ def detect_mentions(
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = _get_gazetteer(id(bc.value), bc.value)
         embedder = _get_embedder()
+        if with_sc:
+            from .sc_classifier import resolve_sc_model, sc_scores
+
+            sc_model = resolve_sc_model(sc_model_broadcast)
+            sc_tok = (
+                sc_tokenizer_broadcast.value
+                if sc_tokenizer_broadcast is not None
+                else None
+            )
         for batch in batches:
             spans_col, groups_col, aliases_col, num_col = [], [], [], []
             for sent in batch["sentence"]:
@@ -373,7 +387,9 @@ def detect_mentions(
             if include_spans:
                 out["spans"] = spans_col
             if with_sc:
-                scores = get_sc_model().score_batch(batch["sentence"].tolist())
+                scores = sc_scores(
+                    sc_model, sc_tok, batch["sentence"].tolist(), sc_max_length
+                )
                 out["sc_label"] = scores.argmax(axis=1).astype("int32")
                 out["sc_score"] = scores.max(axis=1).astype("float32")
             yield pd.DataFrame(out)[[f.name for f in schema.fields]]

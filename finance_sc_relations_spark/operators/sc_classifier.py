@@ -23,6 +23,33 @@ from pyspark.sql.types import FloatType, IntegerType, StructField, StructType
 from .models import get_sc_model, model_from_broadcast
 
 
+def resolve_sc_model(model_broadcast=None):
+    """SC-stage model resolution: broadcast checkpoint > built-in lexical
+    scorer. Runs inside the executor UDF (one load per executor)."""
+    if model_broadcast is not None:
+        return model_from_broadcast(model_broadcast)
+    return get_sc_model()
+
+
+def sc_scores(model, tok, sents, max_length):
+    """Shared C1-C3 scoring kernel for BOTH the fused pass
+    (ner.detect_mentions with_sc=True) and the standalone sc_classify —
+    one copy so the tokenize/score contract cannot diverge between them
+    (same discipline as re_classifier.gate_and_score). With a tokenizer
+    and a model exposing score_ids_batch(ids, attention_mask): WordPiece
+    encode truncated to max_length, FIXED-width pad to max_length
+    (batch_encode_plus padding='max_length',
+    src/sc_classifier/processing/tokenizers.py:14-44). Otherwise the
+    string path."""
+    if tok is not None and hasattr(model, "score_ids_batch"):
+        from ..functions.wordpiece import pad_batch
+
+        encoded = [tok.encode(s, max_length=max_length) for s in sents]
+        ids, mask = pad_batch(encoded, tok.pad_token_id, width=max_length)
+        return model.score_ids_batch(ids, mask)
+    return model.score_batch(sents)
+
+
 def sc_classify(
     mentions: DataFrame,
     model_broadcast=None,
@@ -50,11 +77,7 @@ def sc_classify(
     )
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = (
-            model_from_broadcast(model_broadcast)
-            if model_broadcast is not None
-            else get_sc_model()
-        )
+        model = resolve_sc_model(model_broadcast)
         tok = (
             tokenizer_broadcast.value
             if tokenizer_broadcast is not None
@@ -63,17 +86,9 @@ def sc_classify(
         for batch in batches:
             if len(batch) == 0:
                 continue
-            sents = batch["sentence"].tolist()
-            if tok is not None and hasattr(model, "score_ids_batch"):
-                from ..functions.wordpiece import pad_batch
-
-                encoded = [tok.encode(s, max_length=max_length) for s in sents]
-                ids, mask = pad_batch(
-                    encoded, tok.pad_token_id, width=max_length
-                )
-                scores = model.score_ids_batch(ids, mask)
-            else:
-                scores = model.score_batch(sents)
+            scores = sc_scores(
+                model, tok, batch["sentence"].tolist(), max_length
+            )
             out = batch.copy()
             out["sc_label"] = scores.argmax(axis=1).astype("int32")
             out["sc_score"] = scores.max(axis=1).astype("float32")

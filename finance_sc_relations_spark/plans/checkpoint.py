@@ -196,7 +196,7 @@ def _cfg_signature(cfg) -> str:
     parts = []
     for f in fields(cfg):
         v = getattr(cfg, f.name)
-        if f.name == "re_model_broadcast":
+        if f.name in ("re_model_broadcast", "sc_model_broadcast"):
             # key on id AND payload bytes: a retrained model broadcast
             # under the same id must invalidate, not silently resume
             try:
@@ -207,7 +207,7 @@ def _cfg_signature(cfg) -> str:
             except Exception:
                 # unidentifiable broadcast: never resume against it
                 v = f"opaque:{uuid.uuid4().hex}"
-        elif f.name == "re_tokenizer_broadcast":
+        elif f.name in ("re_tokenizer_broadcast", "sc_tokenizer_broadcast"):
             try:
                 if v is not None:
                     h = hashlib.blake2b(
@@ -302,7 +302,11 @@ def run_pipeline_checkpointed(
     mentions = ckpt.run_stage(
         "mentions",
         lambda: detect_mentions(
-            sentences, company_pdf, include_spans=False, with_sc=cfg.use_sc_gate
+            sentences, company_pdf, include_spans=False,
+            with_sc=cfg.use_sc_gate,
+            sc_model_broadcast=cfg.sc_model_broadcast,
+            sc_tokenizer_broadcast=cfg.sc_tokenizer_broadcast,
+            sc_max_length=cfg.sc_max_length,
         ),
         fp,
         input_rows=_rows("sentences"),

@@ -73,6 +73,13 @@ class PipelineConfig:
     re_tokenizer_broadcast: object = None
     re_max_length: int | None = None
     re_dropped_acc: object = None
+    # SC classifier drop-in seam (C1-C3), mirroring the RE seam: broadcast
+    # checkpoint + optional tokenizer for the batch_encode_plus token-ID
+    # path (fixed-width pad to sc_max_length; shared sc_scores kernel in
+    # BOTH the fused NER pass and standalone sc_classify).
+    sc_model_broadcast: object = None
+    sc_tokenizer_broadcast: object = None
+    sc_max_length: int | None = 512
     # None = auto: use the distributed (cogroup-by-prefix) linking tier when
     # the dictionary exceeds max_broadcast_dict_rows; True/False forces.
     # The NER gazetteer always needs a driver-side dict — above the
@@ -120,7 +127,10 @@ def run_pipeline(
     # structs through back-to-back UDF stages dominated CPU (see operator
     # docstring). spans remain available via detect_mentions(include_spans=True).
     mentions = detect_mentions(
-        sentences, company_pdf, include_spans=False, with_sc=cfg.use_sc_gate
+        sentences, company_pdf, include_spans=False, with_sc=cfg.use_sc_gate,
+        sc_model_broadcast=cfg.sc_model_broadcast,
+        sc_tokenizer_broadcast=cfg.sc_tokenizer_broadcast,
+        sc_max_length=cfg.sc_max_length,
     )
     if cfg.persist_intermediate:
         mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)

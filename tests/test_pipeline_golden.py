@@ -244,3 +244,51 @@ def test_sc_token_id_seam(spark):
     # without a tokenizer the string path still runs (lexical default)
     plain = sc_classify(mentions).collect()
     assert {r["sc_label"] for r in plain} == {1}  # supply cue present
+
+
+def test_sc_seam_reaches_fused_ner_pass(spark):
+    """The C1-C3 drop-in must reach the PRODUCTION fused pass: a broadcast
+    SC model + tokenizer wired through PipelineConfig changes the fused
+    detect_mentions sc scores exactly as it changes standalone sc_classify
+    (shared sc_scores kernel)."""
+    from finance_sc_relations_spark.fixtures import company_universe
+    from finance_sc_relations_spark.functions.wordpiece import (
+        build_re_tokenizer,
+    )
+    from finance_sc_relations_spark.operators.models import (
+        SCProbeModel,
+        serialize_model,
+    )
+    from finance_sc_relations_spark.operators.ner import detect_mentions
+    from finance_sc_relations_spark.operators.sc_classifier import sc_classify
+
+    sents_txt = [
+        "Acme Corp supplies widgets to Zenith Holdings",
+        "the weather was pleasant in october",
+    ]
+    tok_bc = spark.sparkContext.broadcast(
+        build_re_tokenizer(sents_txt, vocab_size=300, min_freq=1)
+    )
+    model_bc = spark.sparkContext.broadcast(
+        serialize_model("sc_probe", SCProbeModel())
+    )
+    sentences = spark.createDataFrame(
+        [("u", f"s{i}", s) for i, s in enumerate(sents_txt)],
+        "url string, sentence_id string, sentence string",
+    )
+    fused = detect_mentions(
+        sentences, company_universe(), include_spans=False, with_sc=True,
+        sc_model_broadcast=model_bc, sc_tokenizer_broadcast=tok_bc,
+        sc_max_length=24,
+    )
+    standalone = sc_classify(
+        sentences, model_broadcast=model_bc, tokenizer_broadcast=tok_bc,
+        max_length=24,
+    )
+    a = {r["sentence_id"]: (r["sc_label"], r["sc_score"])
+         for r in fused.select("sentence_id", "sc_label", "sc_score").collect()}
+    b = {r["sentence_id"]: (r["sc_label"], r["sc_score"])
+         for r in standalone.select("sentence_id", "sc_label", "sc_score").collect()}
+    assert a == b and len(a) == 2
+    # probe echo proves the token-ID contract ran (score = width or length)
+    assert all(v[1] <= 24.0 for v in a.values())

@@ -287,3 +287,37 @@ def test_cfg_signature_model_path_content_keys(tmp_path):
     # the (size, mtime_ns) signature sees the rewrite even when the pickle
     # payload is byte-length-identical (mtime_ns moved)
     assert _cfg_signature(PipelineConfig(re_model_path=str(path))) != sig1
+
+
+def test_cfg_signature_sc_broadcasts_content_keyed(spark):
+    """The SC seam's broadcast fields must be content-keyed like the RE
+    ones: identical payloads resume, retrained payloads invalidate, and no
+    broadcast object address ever reaches the fingerprint."""
+    from finance_sc_relations_spark.operators.models import (
+        ConstantModel,
+        serialize_model,
+    )
+    from finance_sc_relations_spark.functions.wordpiece import (
+        build_re_tokenizer,
+    )
+    from finance_sc_relations_spark.plans.checkpoint import _cfg_signature
+    from finance_sc_relations_spark.plans.pipeline import PipelineConfig
+
+    sc = spark.sparkContext
+    m1 = serialize_model("sc_head", ConstantModel([0.9, 0.1]))
+    m1_again = serialize_model("sc_head", ConstantModel([0.9, 0.1]))
+    m2 = serialize_model("sc_head", ConstantModel([0.1, 0.9]))
+    sig = lambda m: _cfg_signature(
+        PipelineConfig(sc_model_broadcast=sc.broadcast(m))
+    )
+    assert sig(m1) == sig(m1_again)
+    assert sig(m1) != sig(m2)
+
+    t1 = build_re_tokenizer(["alpha beta"], min_freq=1)
+    t2 = build_re_tokenizer(["gamma delta"], min_freq=1)
+    tsig = lambda t: _cfg_signature(
+        PipelineConfig(sc_tokenizer_broadcast=sc.broadcast(t))
+    )
+    same = build_re_tokenizer(["alpha beta"], min_freq=1)
+    assert tsig(t1) == tsig(same)
+    assert tsig(t1) != tsig(t2)
