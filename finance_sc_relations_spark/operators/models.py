@@ -157,14 +157,34 @@ def model_from_broadcast(bc) -> BatchModel:
     """Per-executor singleton loaded from a broadcast checkpoint — the Spark
     analog of SageMaker's once-per-container model_fn
     (src/sagemaker/re_inference.py:24-35). Deserializes at most once per
-    (executor, model_id); every Arrow batch reuses the cached instance."""
+    (executor, broadcast); every Arrow batch reuses the cached instance.
+
+    Cache key = (broadcast id, model_id), NOT model_id alone: two seams
+    sharing a checkpoint id (an SC and an RE model both named "model"), or
+    a retrained model re-broadcast under the same id in a long-lived app,
+    must each load their OWN payload — a model_id-only key would let
+    whichever stage ran first poison the other with the wrong weights.
+    The per-broadcast token is cheap (no payload hashing) and exact:
+    executor-side Broadcast objects carry a unique _path (the spill file of
+    THIS broadcast), driver-side ones a unique JVM broadcast id — both are
+    stable for a broadcast's lifetime and never shared across
+    sc.broadcast() calls."""
     model_id, payload = bc.value
-    model = _BROADCAST_LOADED.get(model_id)
+    token = getattr(bc, "_path", None)
+    if token is None:
+        jb = getattr(bc, "_jbroadcast", None)
+        token = jb.id() if jb is not None else id(bc)
+    key = (token, model_id)
+    model = _BROADCAST_LOADED.get(key)
     if model is None:
         import pickle
 
         model = pickle.loads(payload)
-        _BROADCAST_LOADED[model_id] = model
+        # evict entries from superseded broadcasts of the same model_id so
+        # a long-lived executor doesn't accumulate every old checkpoint
+        for k in [k for k in _BROADCAST_LOADED if k[1] == model_id]:
+            del _BROADCAST_LOADED[k]
+        _BROADCAST_LOADED[key] = model
     return model
 
 

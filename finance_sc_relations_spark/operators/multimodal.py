@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import logging
 import struct
 import wave
 import zlib
@@ -85,6 +86,9 @@ FEATURE_SCHEMA = StructType(
 )
 
 AUDIO_RATE = 8000  # Hz, 16-bit mono PCM for the synthetic corpus
+
+_LOG = logging.getLogger(__name__)
+
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +489,14 @@ def sample_frames(
                 )
                 mp4 = None
                 if is_wav:
-                    samples, rate = _decode_wav(payload)
+                    try:
+                        samples, rate = _decode_wav(payload)
+                    except (
+                        ValueError, EOFError, wave.Error, struct.error,
+                    ):
+                        # corrupt / non-16-bit PCM: digest frames on the
+                        # struct-metadata grid, never a task crash
+                        is_wav = False
                 elif (
                     meta.get("media_type") == "video"
                     and meta.get("format") == "mp4"
@@ -502,7 +513,18 @@ def sample_frames(
                     except (ValueError, IndexError, struct.error):
                         mp4 = None
                 # hostile-duration guard: payload-parsed durations are
-                # attacker-controlled at web scale
+                # attacker-controlled at web scale. Clamps are LOGGED (the
+                # repo's no-silent-caps discipline): a genuine long-form
+                # item whose tail is cut must be visible, not read as full
+                # coverage downstream.
+                if int(duration) > every_ms * max_frames:
+                    _LOG.warning(
+                        "sample_frames: media_id=%s duration_ms=%s clamped "
+                        "to %d frames (every_ms=%d, max_frames=%d); raise "
+                        "max_frames for long-form media",
+                        rec.media_id, duration, max_frames, every_ms,
+                        max_frames,
+                    )
                 duration = min(int(duration), every_ms * max_frames)
                 for i, off in enumerate(range(0, int(duration), every_ms)):
                     if is_wav:

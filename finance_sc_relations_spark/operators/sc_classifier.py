@@ -42,6 +42,15 @@ def sc_scores(model, tok, sents, max_length):
     src/sc_classifier/processing/tokenizers.py:14-44). Otherwise the
     string path."""
     if tok is not None and hasattr(model, "score_ids_batch"):
+        if max_length is None:
+            # the contract is a FIXED (B, max_length) matrix; None would
+            # mean no truncation + per-batch variable widths — a 600-token
+            # sentence overruns a 512-position embedding table at runtime.
+            # Fail loudly at plan time instead.
+            raise ValueError(
+                "SC token-ID scoring requires max_length (the fixed "
+                "batch_encode_plus width); got None"
+            )
         from ..functions.wordpiece import pad_batch
 
         encoded = [tok.encode(s, max_length=max_length) for s in sents]

@@ -208,15 +208,25 @@ def _cfg_signature(cfg) -> str:
                 # unidentifiable broadcast: never resume against it
                 v = f"opaque:{uuid.uuid4().hex}"
         elif f.name in ("re_tokenizer_broadcast", "sc_tokenizer_broadcast"):
+            # hash vocab AND the added atomic-token list: two tokenizers
+            # over the same vocab differ in encoding when one treats the
+            # RE specials as atomic (added) and the other wordpiece-splits
+            # them — they must not share a resume fingerprint
             try:
                 if v is not None:
                     h = hashlib.blake2b(
-                        repr(sorted(v.value.vocab.items())).encode(),
+                        repr(
+                            (sorted(v.value.vocab.items()), list(v.value.added))
+                        ).encode(),
                         digest_size=8,
                     ).hexdigest()
                     v = f"vocab:{h}"
             except Exception:
-                v = "set"
+                # unidentifiable tokenizer: never resume against it (same
+                # fail-closed policy as the model branch — a constant here
+                # would let one opaque tokenizer silently resume another's
+                # stages)
+                v = f"opaque:{uuid.uuid4().hex}"
         elif f.name == "re_model_path":
             # a retrained checkpoint REWRITTEN TO THE SAME PATH must
             # invalidate downstream stages, exactly like the broadcast

@@ -116,3 +116,24 @@ def test_checkpoint_file_model_drives_both_paths(spark, tmp_path):
         cls = out["classified"].select("relation", "score").toPandas()
         assert len(cls) > 0 and set(cls["relation"]) == {"customer"}
         assert (abs(cls["score"] - 0.9) < 1e-6).all()
+
+
+def test_broadcast_cache_keys_on_broadcast_not_id(spark):
+    """Two broadcasts sharing a model_id (an SC and an RE head both named
+    'model', or a retrained re-broadcast) must each load their OWN payload:
+    the per-executor cache keys on the broadcast instance, so the first
+    loader cannot poison the second."""
+    from finance_sc_relations_spark.operators.models import (
+        ConstantModel,
+        model_from_broadcast,
+        serialize_model,
+    )
+
+    sc = spark.sparkContext
+    bc_a = sc.broadcast(serialize_model("model", ConstantModel([0.9, 0.1])))
+    bc_b = sc.broadcast(serialize_model("model", ConstantModel([0.1, 0.9])))
+    a = model_from_broadcast(bc_a)
+    b = model_from_broadcast(bc_b)
+    assert a.score_batch(["x"])[0].tolist() != b.score_batch(["x"])[0].tolist()
+    # same broadcast -> cached instance
+    assert model_from_broadcast(bc_b) is b

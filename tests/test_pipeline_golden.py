@@ -292,3 +292,20 @@ def test_sc_seam_reaches_fused_ner_pass(spark):
     assert a == b and len(a) == 2
     # probe echo proves the token-ID contract ran (score = width or length)
     assert all(v[1] <= 24.0 for v in a.values())
+
+
+def test_sc_token_path_requires_max_length(spark):
+    """sc_max_length=None with a tokenizer + token-ID model must fail
+    loudly (the contract is a FIXED width), not silently emit per-batch
+    variable shapes."""
+    import pytest
+
+    from finance_sc_relations_spark.functions.wordpiece import (
+        build_re_tokenizer,
+    )
+    from finance_sc_relations_spark.operators.models import SCProbeModel
+    from finance_sc_relations_spark.operators.sc_classifier import sc_scores
+
+    tok = build_re_tokenizer(["alpha beta"], min_freq=1)
+    with pytest.raises(ValueError, match="max_length"):
+        sc_scores(SCProbeModel(), tok, ["alpha beta"], None)
