@@ -1769,6 +1769,59 @@ FROM read_parquet('{_EXPECTED_DIR}/linked_mentions.parquet')
 """
 
 
+def _q_linked_mentions_distributed(spark, sf_dir):
+    """The DISTRIBUTED linking tier (operators/linking.py::
+    link_surfaces_distributed — cogroup-by-prefix2, the path a 10^8-row
+    dictionary takes when it cannot ride a broadcast) over the same probe
+    surfaces and against the SAME independent oracle as linked_mentions:
+    the two tiers are contractually identical
+    (test_distributed_linking_equals_broadcast_tier), so they must match
+    the same expected table value-for-value."""
+    import pandas as pd
+    from finance_sc_relations_spark.fixtures import (
+        company_universe,
+        linking_probe_surfaces,
+    )
+    from finance_sc_relations_spark.operators.linking import (
+        link_surfaces_distributed,
+    )
+
+    companies = company_universe()
+    surfaces = spark.createDataFrame(
+        pd.DataFrame({"surface": linking_probe_surfaces(companies)})
+    )
+    out = link_surfaces_distributed(
+        surfaces, spark.createDataFrame(companies)
+    )
+    cand_bp = F.transform(
+        "candidates",
+        lambda c: F.floor(
+            c.getField("score").cast("double") * 10000 + F.lit(0.5)
+        ).cast("long"),
+    )
+    return out.select(
+        "surface",
+        F.coalesce(F.col("entity_id"), F.lit("")).alias("entity_id"),
+        F.coalesce(F.col("matched_name"), F.lit("")).alias("matched_name"),
+        F.coalesce(
+            F.floor(F.col("link_score").cast("double") * 10000 + F.lit(0.5)),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("score_bp"),
+        F.size("candidates").cast("long").alias("n_candidates"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.transform("candidates", lambda c: c.getField("entity_id"))
+            ),
+        ).alias("cand_ids"),
+        F.aggregate(cand_bp, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "cand_sum_bp"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-facing query registry — HARD-CAPPED AT 50 ENTRIES.
 
@@ -1847,6 +1900,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": _q_distinct_dedup,
         "explode_tokens": _q_explode_tokens,
         "events_daily": _q_events_daily,
+        "linked_mentions_distributed": _q_linked_mentions_distributed,
     }
 
 
@@ -1855,6 +1909,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "distinct_dedup": _DISTINCT_SQL,
         "explode_tokens": _EXPLODE_SQL,
         "events_daily": _EVENTS_DAILY_SQL,
+        "linked_mentions_distributed": _LINKED_MENTIONS_SQL,
     }
 
 
