@@ -1732,7 +1732,13 @@ def _q_linked_mentions(spark, sf_dir):
     surfaces = spark.createDataFrame(
         pd.DataFrame({"surface": linking_probe_surfaces(companies)})
     )
-    out = link_surfaces(surfaces, companies)
+    return _linked_mentions_projection(link_surfaces(surfaces, companies))
+
+
+def _linked_mentions_projection(out):
+    """ONE shared projection for both linking-tier oracle queries (they
+    compare against the same expected table, so a rounding/coalesce tweak
+    must reach both or neither)."""
     cand_bp = F.transform(
         "candidates",
         lambda c: F.floor(
@@ -1790,35 +1796,8 @@ def _q_linked_mentions_distributed(spark, sf_dir):
     surfaces = spark.createDataFrame(
         pd.DataFrame({"surface": linking_probe_surfaces(companies)})
     )
-    out = link_surfaces_distributed(
-        surfaces, spark.createDataFrame(companies)
-    )
-    cand_bp = F.transform(
-        "candidates",
-        lambda c: F.floor(
-            c.getField("score").cast("double") * 10000 + F.lit(0.5)
-        ).cast("long"),
-    )
-    return out.select(
-        "surface",
-        F.coalesce(F.col("entity_id"), F.lit("")).alias("entity_id"),
-        F.coalesce(F.col("matched_name"), F.lit("")).alias("matched_name"),
-        F.coalesce(
-            F.floor(F.col("link_score").cast("double") * 10000 + F.lit(0.5)),
-            F.lit(-1),
-        )
-        .cast("long")
-        .alias("score_bp"),
-        F.size("candidates").cast("long").alias("n_candidates"),
-        F.concat_ws(
-            ",",
-            F.array_sort(
-                F.transform("candidates", lambda c: c.getField("entity_id"))
-            ),
-        ).alias("cand_ids"),
-        F.aggregate(cand_bp, F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "cand_sum_bp"
-        ),
+    return _linked_mentions_projection(
+        link_surfaces_distributed(surfaces, spark.createDataFrame(companies))
     )
 
 

@@ -21,6 +21,7 @@ broadcast checkpoint; nothing else in the DAG changes.
 
 from __future__ import annotations
 
+import itertools
 import re
 from typing import List, Protocol, Sequence
 
@@ -138,6 +139,9 @@ class SCLexicalModel:
 
 _RE_MODEL: REPatternModel | None = None
 _SC_MODEL: SCLexicalModel | None = None
+# Monotonic token source for broadcasts lacking _path/_jbroadcast — see
+# model_from_broadcast (id() recycling hazard)
+_BC_TOKEN_COUNTER = itertools.count()
 # Per-executor cache of models deserialized from broadcast checkpoints,
 # keyed by checkpoint id — one load per executor process, shared by every
 # task/batch on that executor (model_fn semantics).
@@ -166,23 +170,40 @@ def model_from_broadcast(bc) -> BatchModel:
     whichever stage ran first poison the other with the wrong weights.
     The per-broadcast token is cheap (no payload hashing) and exact:
     executor-side Broadcast objects carry a unique _path (the spill file of
-    THIS broadcast), driver-side ones a unique JVM broadcast id — both are
-    stable for a broadcast's lifetime and never shared across
-    sc.broadcast() calls."""
+    THIS broadcast), driver-side ones a unique JVM broadcast id; Broadcast
+    objects exposing neither (e.g. the encrypted sock_file branch) get a
+    MONOTONIC counter token pinned on the object — never id(), whose
+    values CPython recycles after GC (a recycled id could alias a dead
+    broadcast's cache entry and resurrect stale weights)."""
     model_id, payload = bc.value
     token = getattr(bc, "_path", None)
     if token is None:
         jb = getattr(bc, "_jbroadcast", None)
-        token = jb.id() if jb is not None else id(bc)
+        if jb is not None:
+            token = jb.id()
+        else:
+            token = getattr(bc, "_fscr_cache_token", None)
+            if token is None:
+                token = f"anon{next(_BC_TOKEN_COUNTER)}"
+                try:
+                    bc._fscr_cache_token = token
+                except Exception:  # frozen/slotted object: load uncached
+                    import pickle
+
+                    return pickle.loads(payload)
     key = (token, model_id)
     model = _BROADCAST_LOADED.get(key)
     if model is None:
         import pickle
 
         model = pickle.loads(payload)
-        # evict entries from superseded broadcasts of the same model_id so
-        # a long-lived executor doesn't accumulate every old checkpoint
-        for k in [k for k in _BROADCAST_LOADED if k[1] == model_id]:
+        # Bound the per-model_id entries to the 2 most recent: a long-lived
+        # executor must not accumulate every superseded checkpoint, but two
+        # CONCURRENTLY-live broadcasts sharing an id (an SC and an RE head
+        # both named "model") must both stay cached — evicting all siblings
+        # on each miss would re-deserialize per alternating stage batch.
+        same = [k for k in _BROADCAST_LOADED if k[1] == model_id]
+        for k in same[:-1]:  # keep the newest existing sibling
             del _BROADCAST_LOADED[k]
         _BROADCAST_LOADED[key] = model
     return model

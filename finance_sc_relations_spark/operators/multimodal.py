@@ -479,6 +479,7 @@ def sample_frames(
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
+            n_clamped = 0
             for rec in batch.itertuples(index=False):
                 meta = rec.meta or {}
                 duration = meta.get("duration_ms") or 0
@@ -513,18 +514,11 @@ def sample_frames(
                     except (ValueError, IndexError, struct.error):
                         mp4 = None
                 # hostile-duration guard: payload-parsed durations are
-                # attacker-controlled at web scale. Clamps are LOGGED (the
-                # repo's no-silent-caps discipline): a genuine long-form
-                # item whose tail is cut must be visible, not read as full
-                # coverage downstream.
+                # attacker-controlled at web scale. Clamps are counted and
+                # logged ONCE PER BATCH below (no-silent-caps without the
+                # per-row log flood a hostile corpus would otherwise cause)
                 if int(duration) > every_ms * max_frames:
-                    _LOG.warning(
-                        "sample_frames: media_id=%s duration_ms=%s clamped "
-                        "to %d frames (every_ms=%d, max_frames=%d); raise "
-                        "max_frames for long-form media",
-                        rec.media_id, duration, max_frames, every_ms,
-                        max_frames,
-                    )
+                    n_clamped += 1
                 duration = min(int(duration), every_ms * max_frames)
                 for i, off in enumerate(range(0, int(duration), every_ms)):
                     if is_wav:
@@ -547,6 +541,13 @@ def sample_frames(
                             payload + off.to_bytes(8, "big"), digest_size=16
                         ).digest()
                     rows.append((rec.media_id, i, off, frame))
+            if n_clamped:
+                _LOG.warning(
+                    "sample_frames: clamped %d item(s) in this batch to "
+                    "max_frames=%d (every_ms=%d); raise max_frames for "
+                    "long-form media",
+                    n_clamped, max_frames, every_ms,
+                )
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_index", "offset_ms", "frame_payload"]
             )

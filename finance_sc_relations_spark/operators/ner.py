@@ -334,6 +334,11 @@ def detect_mentions(
     a real sec-bert checkpoint reaches the PRODUCTION fused path with no
     dataflow change).
     """
+    if sc_tokenizer_broadcast is not None and sc_max_length is None:
+        raise ValueError(
+            "detect_mentions: sc_tokenizer_broadcast requires sc_max_length "
+            "(the fixed batch_encode_plus width); got None"
+        )
     spark = sentences.sparkSession
     pdf = (
         company_dict

@@ -77,6 +77,14 @@ def sc_classify(
     receive the (B, max_length) id matrix + 0/1 mask; other models keep
     the string path. No marker indexing or row dropping here — the SC
     head pools [CLS], so truncation never invalidates a row."""
+    if tokenizer_broadcast is not None and max_length is None:
+        # fail DRIVER-SIDE at plan-build time: raising inside the UDF would
+        # surface as retried task failures at action time (and an empty
+        # input would silently mask the misconfiguration)
+        raise ValueError(
+            "sc_classify: a tokenizer requires max_length (the fixed "
+            "batch_encode_plus width); got None"
+        )
     schema = StructType(
         mentions.schema.fields
         + [

@@ -214,9 +214,14 @@ def _cfg_signature(cfg) -> str:
             # them — they must not share a resume fingerprint
             try:
                 if v is not None:
+                    # getattr: a real HF tokenizer drop-in exposes .vocab
+                    # but may not have .added — it must still content-key
+                    # (falling to the opaque branch would silently disable
+                    # resume for exactly the production tokenizer)
+                    added = list(getattr(v.value, "added", ()))
                     h = hashlib.blake2b(
                         repr(
-                            (sorted(v.value.vocab.items()), list(v.value.added))
+                            (sorted(v.value.vocab.items()), added)
                         ).encode(),
                         digest_size=8,
                     ).hexdigest()

@@ -309,3 +309,29 @@ def test_sc_token_path_requires_max_length(spark):
     tok = build_re_tokenizer(["alpha beta"], min_freq=1)
     with pytest.raises(ValueError, match="max_length"):
         sc_scores(SCProbeModel(), tok, ["alpha beta"], None)
+
+
+def test_sc_classify_driver_side_max_length_guard(spark):
+    """The misconfiguration must fail when the PLAN is built, not as a
+    retried task failure at action time (and not silently on empty input)."""
+    import pytest
+
+    from finance_sc_relations_spark.functions.wordpiece import (
+        build_re_tokenizer,
+    )
+    from finance_sc_relations_spark.operators.ner import detect_mentions
+    from finance_sc_relations_spark.operators.sc_classifier import sc_classify
+    from finance_sc_relations_spark.fixtures import company_universe
+
+    tok_bc = spark.sparkContext.broadcast(
+        build_re_tokenizer(["alpha"], min_freq=1)
+    )
+    empty = spark.createDataFrame([], "sentence_id string, sentence string")
+    with pytest.raises(ValueError, match="max_length"):
+        sc_classify(empty, tokenizer_broadcast=tok_bc, max_length=None)
+    with pytest.raises(ValueError, match="sc_max_length"):
+        detect_mentions(
+            empty.withColumn("url", empty.sentence_id),
+            company_universe(), with_sc=True,
+            sc_tokenizer_broadcast=tok_bc, sc_max_length=None,
+        )
