@@ -333,10 +333,63 @@ def simhash_near_pairs(
 
     Banding: 4 x 16-bit blocks — any pair within Hamming 3 must agree on at
     least one block (pigeonhole), so the join key is (block index, block
-    value); verification computes the exact popcount distance."""
+    value); verification computes the exact popcount distance.
+
+    Shape (r6): decide on distinct signatures, attach documents last (the
+    guide §8 proxy pattern). Self-similar corpora collapse many documents
+    onto one 64-bit signature (the bench corpus puts >half its docs on ONE
+    value), so:
+      (a) the banded join runs at DISTINCT-signature cardinality — 20k
+          rows instead of 50k docs x 4 blocks at bench sf1.0;
+      (b) candidate de-duplication is a FILTER, not a shuffle: a signature
+          pair agreeing on several blocks is kept only from its FIRST
+          matching block (the xor's lowest all-zero 16-bit block). The old
+          dropDuplicates was a full shuffle + first() aggregation over
+          every candidate DOC pair — the dominant stage at bench sf1.0;
+      (c) verification (popcount) happens once per signature pair, then
+          members are attached by two streaming equi-joins — the
+          (intra-cluster) Hamming-0 pairs by a salted self-join on the
+          signature (salting bounds the one-giant-cluster task: the hot
+          cluster's quadratic output is streamed by `salt_buckets` tasks,
+          not one), never via collected id arrays (a 25k-doc cluster would
+          otherwise materialize 25k-element arrays per exploded row).
+    Output rows are identical to the naive form: every (id_a < id_b) pair
+    within max_hamming exactly once."""
+    from pyspark import StorageLevel
+
+    spark = docs.sparkSession
+    salt_buckets = spark.sparkContext.defaultParallelism or 16
     sigs = simhash_signatures(docs, text_col, id_col)
-    blocks = sigs.select(
-        "id",
+    # consumed by: distinct-sig table, both intra legs, both attach joins
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # intra-cluster pairs: identical signature => Hamming 0. Salted
+    # self-join with the replication on the STREAMED side: the b-side keeps
+    # one row per doc with its own deterministic salt (so the build/broadcast
+    # side is never inflated — an exploded build side was measured OOMing the
+    # 8g local heap at bench sf1.0), while the a-side is exploded across all
+    # salts. Each (id_a < id_b) pair meets exactly once (at _salt =
+    # h(id_b)), and under a shuffle join a hot identical-signature cluster's
+    # C(m,2) enumeration is spread over salt_buckets tasks instead of one.
+    a_side = sigs.select(
+        "simhash", F.col("id").alias("id_a")
+    ).withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    b_side = sigs.select(
+        "simhash",
+        F.col("id").alias("id_b"),
+        F.pmod(F.xxhash64("id"), F.lit(salt_buckets)).alias("_salt"),
+    )
+    intra = (
+        a_side.join(b_side, ["simhash", "_salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+    # inter-cluster: banded join over DISTINCT signatures only
+    dsig = sigs.select("simhash").distinct()
+    blocks = dsig.select(
         "simhash",
         F.posexplode(
             F.array(
@@ -347,18 +400,46 @@ def simhash_near_pairs(
             )
         ).alias("block", "value"),
     )
-    a = blocks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "block", "value")
-    b = blocks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "block", "value")
-    cands = (
-        a.join(b, ["block", "value"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    a = blocks.select(F.col("simhash").alias("sh_a"), "block", "value")
+    b = blocks.select(F.col("simhash").alias("sh_b"), "block", "value")
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    block_zero = [
+        F.shiftright(xor, k * 16).bitwiseAND(F.lit(0xFFFF)) == 0
+        for k in range(4)
+    ]
+    first_match = (
+        F.when(block_zero[0], 0)
+        .when(block_zero[1], 1)
+        .when(block_zero[2], 2)
+        .otherwise(3)
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    sig_pairs = (
+        a.join(b, ["block", "value"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .filter(
+            (F.col("block") == first_match)
+            & (F.bit_count(xor) <= max_hamming)
+        )
+        .select("sh_a", "sh_b", F.bit_count(xor).cast("int").alias("hamming"))
+    )
+    # attach members: two streaming equi-joins (no arrays, no broadcast
+    # assumption on the signature pair set)
+    inter = (
+        sig_pairs.join(
+            sigs.select(F.col("simhash").alias("sh_a"), F.col("id").alias("ia")),
+            "sh_a",
+        )
+        .join(
+            sigs.select(F.col("simhash").alias("sh_b"), F.col("id").alias("ib")),
+            "sh_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter)
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when size conditions are met
+        # (guide §3.1/§9): the engine's join build sides are bounded
+        # (dictionaries, signature tables, stats rows) while probe sides can
+        # be enormous enumeration streams (near-dup pair expansion) — SHJ
+        # streams them unsorted, where SMJ would sort the multi-100M-row
+        # side. The AQE threshold additionally rewrites SMJ->SHJ at runtime
+        # when every post-shuffle build partition is small.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records)
