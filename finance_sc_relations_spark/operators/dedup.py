@@ -79,6 +79,42 @@ def _ngram_col(text_col: str, n: int) -> F.Column:
     )
 
 
+def _word_hash_col(text_col: str) -> F.Column:
+    """Per-word 64-bit hashes of the lowercased whitespace tokens — the
+    materialization step of the hashed-gram path. Must be bound to a REAL
+    projection column before windowed slicing: a lambda-captured expression
+    is inlined into every slice and re-runs the whole transform per window
+    position (O(len^2) per doc, measured 2x slower than gram strings)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def _ngram_hash_from(wh_col: str, n: int) -> F.Column:
+    """Distinct word-level n-grams as 64-bit fingerprints (array<long>)
+    over a materialized word-hash column (_word_hash_col).
+
+    Same gram identity as _ngram_col (two grams hash equal iff their word
+    sequences are equal, modulo a ~2^-64 xxhash64 collision), but the gram
+    STRING is never built: each word is hashed once, and a window's
+    fingerprint is xxhash64 over the slice of word hashes — O(len) string
+    hashing + O(len*n) long folding instead of O(len*n) string building +
+    hashing, and every downstream shuffle/join/intersect carries 8-byte
+    longs instead of ~n-word strings."""
+    wh = F.col(wh_col)
+    return F.when(
+        F.size(wh) > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(wh) - n, F.lit(0))),
+                lambda i: F.xxhash64(F.slice(wh, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -96,12 +132,29 @@ def ngram_jaccard_pairs(
     high-df head — the stopword-gram quadratic blowup a naive posting join
     hits on web corpora. Candidates are verified by exact array_intersect,
     so the result is identical to the naive join (no silent truncation —
-    nothing is dropped, high-df grams still count via the verify step)."""
+    nothing is dropped, high-df grams still count via the verify step).
+
+    r6 shape changes (output unchanged, oracle-checked):
+      - grams are 64-bit fingerprints (_ngram_hash_col), so the posting
+        explode, df aggregation, prefix window and verification all move
+        longs, never n-word strings;
+      - the PPJoin POSITIONAL filter (Xiao et al. WWW'08) prunes candidates
+        before verification: all shared grams of a pair sort at-or-after its
+        first meeting gram in the (df, gram) canonical order, so
+        co <= 1 + min(na - pa0, nb - pb0) where pa0/pb0 are the meeting
+        gram's positions in each doc's full sorted gram list. Candidates
+        whose bound cannot reach the required overlap ceil-free floor
+        t*(na+nb)/(1+t) are dropped WITHOUT touching the gram arrays — at
+        bench sf1.0 the prefix join emits 52M candidate rows for 2.5k true
+        pairs, and verification (array_intersect over ~400-element arrays)
+        was the dominant stage."""
     from pyspark import StorageLevel
 
     docs = _parallelize(docs)
     grams = docs.select(
-        F.col(id_col).alias("id"), _ngram_col(text_col, n).alias("grams")
+        F.col(id_col).alias("id"), _word_hash_col(text_col).alias("_wh")
+    ).select(
+        "id", _ngram_hash_from("_wh", n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     # three consumers (posting explode + both verify sides) — without this
     # the O(len·n) gram-array build re-runs per consumer. The cache is
@@ -121,15 +174,36 @@ def ngram_jaccard_pairs(
             F.col("pos")
             <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
         )
-        .select("id", "gram")
+        .select("id", "gram", "pos", "n_grams")
     )
+    a = prefix.select(
+        F.col("id").alias("id_a"), "gram",
+        F.col("pos").alias("pa"), F.col("n_grams").alias("na"),
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "gram",
+        F.col("pos").alias("pb"), F.col("n_grams").alias("nb"),
+    )
+    # per candidate pair, the FIRST meeting gram in canonical order has the
+    # minimal position in BOTH sorted gram lists (common elements of two
+    # lists sorted by one global order appear in the same relative order),
+    # so min(pa)/min(pb) are attained at the same gram. The groupBy replaces
+    # the old distinct() — same single shuffle, now carrying the bound.
     cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "gram")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.min("pa").alias("pa0"), F.min("pb").alias("pb0"))
     )
+    # positional upper bound on the overlap; floor() under-estimates the
+    # required overlap, so no qualifying pair is ever pruned
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa0"), F.col("nb") - F.col("pb0")
+    )
+    required = F.floor(
+        F.lit(threshold) * (F.col("na") + F.col("nb")) / F.lit(1.0 + threshold)
+    )
+    survivors = cand.filter(ubound >= required).select("id_a", "id_b")
     ga = grams.select(
         F.col("id").alias("id_a"), F.col("grams").alias("grams_a"),
         F.col("n_grams").alias("na"),
@@ -139,7 +213,7 @@ def ngram_jaccard_pairs(
         F.col("n_grams").alias("nb"),
     )
     verified = (
-        cand.join(ga, "id_a")
+        survivors.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("co", F.size(F.array_intersect("grams_a", "grams_b")))
         .withColumn(
@@ -649,36 +723,50 @@ def duplicate_spans(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: F.length(t) > 0,
     )
+    # r6: the n-token window STRING is never built. Each word is hashed
+    # into TWO independent lanes (wh2 seeded by a leading salt literal —
+    # Spark folds xxhash64 args left-to-right with the running hash as
+    # seed), and a window's fingerprint pair is xxhash64 over the slice of
+    # each lane's word hashes. Equal word sequences still produce equal
+    # (h1, h2); a false duplicate needs a simultaneous collision in both
+    # lanes at BOTH levels (word and window), preserving the 2^128 bound
+    # the string form had, while replacing O(n) string copies + ~90-byte
+    # string hashing per position with O(n) 8-byte long folds.
+    # The word-hash arrays are materialized as REAL projection columns
+    # before the window transform references them: a lambda-captured
+    # expression is inlined into every slice, re-running the whole
+    # word-hash transform once per window position (measured 2x slower
+    # than the string form at bench sf1.0 — O(len^2) per doc).
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(words, lambda t: F.xxhash64(t)).alias("_wh1"),
+        F.transform(words, lambda t: F.xxhash64(F.lit(0x9E37), t)).alias("_wh2"),
+    )
     wins = F.when(
-        F.size(words) >= n,
+        F.size("_wh1") >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
+            F.sequence(F.lit(0), F.size("_wh1") - n),
             lambda i: F.struct(
                 i.alias("pos"),
-                F.concat_ws(" ", F.slice(words, i + 1, n)).alias("gram"),
+                F.xxhash64(F.slice(F.col("_wh1"), i + 1, n)).alias("h1"),
+                F.xxhash64(
+                    F.lit(0x9E37), F.slice(F.col("_wh2"), i + 1, n)
+                ).alias("h2"),
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    ).otherwise(F.array().cast("array<struct<pos:int,h1:bigint,h2:bigint>>"))
     # Branch point: the window explode (the dominant cost — one fingerprint
     # pair per corpus token position) feeds BOTH the dup-fingerprint
     # aggregate and the semi-join leg; materialize once instead of
-    # exploding twice. The gram string is built ONCE in this projection and
-    # hashed twice; only the 16-byte fingerprint survives into the
+    # exploding twice. Only the 16-byte fingerprint survives into the
     # checkpoint/shuffles.
     if materialize not in ("disk_only", "checkpoint", "recompute"):
         raise ValueError(f"unknown materialize mode {materialize!r}")
-    w = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
-    ).select(
+    w = hashed.select("doc_id", F.explode(wins).alias("w")).select(
         "doc_id",
         F.col("w.pos").alias("pos"),
-        F.xxhash64(F.col("w.gram")).alias("h1"),
-        # salt FIRST: Spark folds multi-arg xxhash64 left-to-right with
-        # the running hash as seed, so xxhash64(gram, salt) would be a
-        # deterministic function of h1 (every h1 collision also an h2
-        # collision — a 2^64 bound, not 2^128). Leading with the salt
-        # seeds the fold, making the lanes independent.
-        F.xxhash64(F.lit(0x9E37), F.col("w.gram")).alias("h2"),
+        F.col("w.h1").alias("h1"),
+        F.col("w.h2").alias("h2"),
     )
     if materialize == "checkpoint":
         w = w.localCheckpoint(eager=True)

@@ -34,6 +34,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..util import ensure_parallelism as _parallelize
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -88,7 +90,20 @@ def kg_negative_samples(
     seed: int = 42,
 ) -> DataFrame:
     """(r_id, subj_id, pred, obj_id) positives -> filtered negatives
-    (NEGATIVE_SCHEMA). See module docstring for semantics and scale shape."""
+    (NEGATIVE_SCHEMA). See module docstring for semantics and scale shape.
+
+    The positives frame has THREE consumers (the entity-pool scan, the
+    corruption pass, and the true-triple set for the filter join); persist
+    it once so an upstream join/extraction subtree is not re-executed per
+    consumer (r6: the bench's supply-edges input cost ~6s per re-run, i.e.
+    ~2/3 of this operator's wall time). Lineage-keeping persist, not
+    checkpoint: blocks recompute on executor loss and are
+    ContextCleaner-managed."""
+    from pyspark import StorageLevel
+
+    triples = triples.select("r_id", "subj_id", "pred", "obj_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pool = entity_pool(triples, max_pool=max_pool, seed=seed)
     if not pool:
         return triples.sparkSession.createDataFrame([], NEGATIVE_SCHEMA)
@@ -119,8 +134,11 @@ def kg_negative_samples(
                          "corrupted"],
             )
 
-    cand = triples.select("r_id", "subj_id", "pred", "obj_id").mapInPandas(
-        _corrupt, schema=NEGATIVE_SCHEMA
-    )
+    # repartition-before-model-fleet: the positives often arrive as a
+    # handful of AQE-coalesced post-join partitions, which would serialize
+    # the per-row blake2b sampling loop onto a few cores
+    cand = _parallelize(
+        triples.select("r_id", "subj_id", "pred", "obj_id")
+    ).mapInPandas(_corrupt, schema=NEGATIVE_SCHEMA)
     true_set = triples.select("subj_id", "pred", "obj_id").distinct()
     return cand.join(true_set, ["subj_id", "pred", "obj_id"], "left_anti")
