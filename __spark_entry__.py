@@ -74,20 +74,43 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _fact(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
-    return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
-        .groupBy(
-            F.col("s_suppkey").alias("subj_id"), F.col("c_custkey").alias("obj_id")
+    # Aggregate BEFORE the dim joins (r6): the group key (l_suppkey,
+    # o_custkey) IS the pair of dim join keys, and for an inner equi-join a
+    # row's survival depends only on its key — so grouping first and
+    # broadcast-joining the dims onto the ~48k aggregated edges is exactly
+    # equivalent to joining the dims onto 6M line items first, and the dim
+    # probes + the existence filter now touch 3 orders of magnitude fewer
+    # rows. The fact⋈fact join still happens at line-item grain (it must:
+    # the weight is priced per item).
+    edges = (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_cents"
+            ),
         )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_suppkey", "o_custkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(
-                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("edge_weight_cents"),
+            F.sum("_cents").alias("edge_weight_cents"),
         )
-        .select("subj_id", "obj_id", "n_items", "edge_weight_cents")
+    )
+    return (
+        edges.join(
+            F.broadcast(customer), edges.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(supplier), edges.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("subj_id"),
+            F.col("c_custkey").alias("obj_id"),
+            "n_items",
+            "edge_weight_cents",
+        )
     )
 
 
@@ -1217,14 +1240,29 @@ def _q_triangle_count(spark, sf_dir):
     orders = _fact(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
     customer = _t(spark, sf_dir, "customer")
-    edges = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .select(
-            F.col("s_nationkey").cast("long").alias("subj_id"),
-            F.col("c_nationkey").cast("long").alias("obj_id"),
+    # Shrink BEFORE the fact⋈fact join (r6): the edge set only needs
+    # nation-level endpoints, so each fact side is broadcast-joined to its
+    # dim and reduced to (orderkey, nationkey) first — the lineitem side
+    # additionally de-duplicated (6M items -> ~1.5M distinct pairs) — and
+    # the orderkey join then shuffles two narrow int columns per side
+    # instead of wide line items. distinct() before/after an equi-join
+    # commutes for a final-distinct query, so the edge set is identical.
+    l2 = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
+        .select("l_orderkey", F.col("s_nationkey").cast("long").alias("subj_id"))
+        .distinct()
+    )
+    o2 = orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_orderkey", F.col("c_nationkey").cast("long").alias("obj_id"))
+    edges = (
+        l2.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("subj_id", "obj_id")
         .distinct()
     )
     return triangle_count(edges)

@@ -307,34 +307,53 @@ def minhash_lsh_pairs(
     Jaccard >= threshold.
 
     bands * rows_per_band == num_perm; the S-curve collision probability is
-    1-(1-s^r)^b. Bucket join key = (band index, hash of the band slice)."""
+    1-(1-s^r)^b. Bucket join key = (band index, hash of the band slice).
+
+    Candidate de-duplication (r6) is a FILTER, not a shuffle: a pair
+    meeting in several band buckets is kept only from its FIRST matching
+    band, judged by the SAME bucket-hash criterion the join key uses (so a
+    pair joined via a rare 32-bit bucket collision is still kept exactly
+    once and then rejected by verification, byte-identical to the old
+    dropDuplicates + verify). The old path shuffled every candidate row —
+    with both 64-long signature arrays as payload — through a
+    dropDuplicates aggregate before verifying."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, shingle_n, text_col, id_col)
-    bands_df = sigs.select(
-        "id",
-        "signature",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
-                    )
-                    for i in range(bands)
-                ]
+    band_arr = F.array(
+        *[
+            F.hash(
+                F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band)
             )
-        ).alias("band", "bucket"),
+            for i in range(bands)
+        ]
+    )
+    # two-step select: _bh must be a materialized column before the
+    # posexplode references it, or the hash array is recomputed per band
+    base = sigs.select("id", "signature", band_arr.alias("_bh"))
+    bands_df = base.select(
+        "id", "signature", "_bh", F.posexplode("_bh").alias("band", "bucket")
     )
     a = bands_df.select(
-        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"),
+        F.col("_bh").alias("_bh_a"), "band", "bucket",
     )
     b = bands_df.select(
-        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"),
+        F.col("_bh").alias("_bh_b"), "band", "bucket",
+    )
+    first_match = F.element_at(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.element_at("_bh_a", j + 1)
+            == F.element_at("_bh_b", j + 1),
+        ),
+        1,
     )
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("band") == first_match)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     est = cands.withColumn(
         "est_jaccard",
@@ -820,14 +839,18 @@ def decontaminate(
 
     The eval side is tiny next to the corpus: its distinct n-grams become a
     broadcast left_anti join against the corpus posting list (one pass,
-    no shuffle of the corpus beyond the explode)."""
+    no shuffle of the corpus beyond the explode). Grams travel as 64-bit
+    fingerprints (r6, _ngram_hash_from): the broadcast set and the corpus
+    explode carry 8-byte longs instead of n-word strings — same gram
+    identity modulo a ~2^-64 xxhash64 collision."""
     eval_grams = (
-        eval_texts.select(F.explode(_ngram_col(eval_text_col, n)).alias("gram"))
+        eval_texts.select(_word_hash_col(eval_text_col).alias("_wh"))
+        .select(F.explode(_ngram_hash_from("_wh", n)).alias("gram"))
         .distinct()
     )
     doc_grams = docs.select(
-        F.col(id_col), F.explode(_ngram_col(text_col, n)).alias("gram")
-    )
+        F.col(id_col), _word_hash_col(text_col).alias("_wh")
+    ).select(id_col, F.explode(_ngram_hash_from("_wh", n)).alias("gram"))
     contaminated = (
         doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
         .select(id_col)

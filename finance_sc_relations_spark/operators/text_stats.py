@@ -100,11 +100,26 @@ _LANG_PROFILES = {
     "zh": [],  # CJK detected by codepoint range instead
 }
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Append a detected_lang column via an Arrow-batched n-gram scorer."""
-    schema = StructType(
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_text: bool = True,
+) -> DataFrame:
+    """Append a detected_lang column via an Arrow-batched n-gram scorer.
+
+    include_text=False returns only (id_col, detected_lang): Catalyst
+    cannot prune columns THROUGH an opaque mapInPandas, so a caller that
+    only needs the language decision (the curation lang gate) would
+    otherwise pay Arrow serialization of the full text column on the way
+    OUT of Python for nothing (guide §4.1)."""
+    out_fields = (
         docs.select(id_col, text_col).schema.fields
-        + [StructField("detected_lang", StringType(), False)]
+        if include_text
+        else docs.select(id_col).schema.fields
+    )
+    schema = StructType(
+        out_fields + [StructField("detected_lang", StringType(), False)]
     )
 
     profiles = {
@@ -123,9 +138,11 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 best, best_hits = lang, hits
         return best
 
+    keep = [id_col, text_col] if include_text else [id_col]
+
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = batch[[id_col, text_col]].copy()
+            out = batch[keep].copy()
             out["detected_lang"] = [_detect(t) for t in batch[text_col]]
             yield out
 
@@ -199,6 +216,7 @@ def token_cooccurrence(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_tokens_per_doc: int | None = 5000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Document-level token co-occurrence statistics + PMI — the corpus
     association-mining op of a training-data pipeline (collocation /
@@ -221,11 +239,17 @@ def token_cooccurrence(
     min_df would otherwise contribute ~10^10 pairs. When set, each doc
     keeps its `max_tokens_per_doc` RAREST frequent tokens (lowest df,
     token-lexicographic tiebreak — deterministic, and rare tokens carry
-    the PMI signal); the number of dropped (doc, token) rows is counted
-    and logged (no silent caps). The DEFAULT is a conservative 5000 so the
+    the PMI signal). The DEFAULT is a conservative 5000 so the
     safe behavior is the ambient one at web scale (a doc must carry >5000
     DISTINCT min_df-frequent tokens before anything drops — ordinary
-    documents are untouched); pass None for exact small-corpus runs."""
+    documents are untouched); pass None for exact small-corpus runs.
+
+    `log_dropped=True` counts and warn-logs the dropped (doc, token) rows.
+    It is OPT-IN (r6): the count is an extra action fired at
+    DataFrame-CONSTRUCTION time — an unconditional full cache pass per
+    invocation even when nothing is dropped and even if the caller never
+    executes the result. Auditing runs ask for it; the ambient path stays
+    lazy and one-job."""
     tokens = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -257,16 +281,15 @@ def token_cooccurrence(
         kept = ranked.filter(F.col("_rn") <= max_tokens_per_doc).select(
             "doc", "token"
         )
-        # the drop log costs one action over the now-cached table ("no
-        # silent caps"); it also primes the cache the pair-join legs read
-        dropped = ranked.filter(F.col("_rn") > max_tokens_per_doc).count()
-        if dropped:
-            _LOG.warning(
-                "token_cooccurrence: max_tokens_per_doc=%d dropped %d "
-                "(doc, token) rows (kept the lowest-df tokens per doc)",
-                max_tokens_per_doc,
-                dropped,
-            )
+        if log_dropped:
+            dropped = ranked.filter(F.col("_rn") > max_tokens_per_doc).count()
+            if dropped:
+                _LOG.warning(
+                    "token_cooccurrence: max_tokens_per_doc=%d dropped %d "
+                    "(doc, token) rows (kept the lowest-df tokens per doc)",
+                    max_tokens_per_doc,
+                    dropped,
+                )
     else:
         kept = tokens.join(vocab, "token", "left_semi")
     a = kept.select("doc", F.col("token").alias("token_a"))
@@ -305,6 +328,7 @@ def bm25_top_terms(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: str = "recompute",
 ) -> DataFrame:
     """Per-document top-k BM25-scored terms — corpus keyword extraction /
     relevance-feature materialization (the Okapi BM25 term weight every
@@ -329,7 +353,24 @@ def bm25_top_terms(
             )
         ).alias("token"),
     )
+    # tf feeds FOUR consumers (dl, stats via dl, dfreq, and the scored
+    # join), so the plan carries four parallel Scan+Generate+HashAggregate
+    # subtrees. `materialize` picks the branch-point strategy:
+    #   - "recompute" (default): the four subtrees are independent
+    #     broadcast-building jobs that overlap on idle executors — at bench
+    #     scale this beats a persist (measured 5.5s vs 7.0s at sf1.0:
+    #     the cache write serializes what the scheduler overlapped);
+    #   - "persist": one tokenize pass + a MEMORY_AND_DISK cache of the
+    #     (doc, token, tf) table — the right trade once the corpus scan is
+    #     I/O-bound (at the 100-TB target four scans of the raw corpus
+    #     dwarf one materialization of the much smaller tf table).
+    if materialize not in ("recompute", "persist"):
+        raise ValueError(f"unknown materialize mode {materialize!r}")
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    if materialize == "persist":
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

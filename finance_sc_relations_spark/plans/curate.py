@@ -27,9 +27,11 @@ from ..operators.text_stats import lang_id, quality_score_col
 
 
 def _gate_lang(docs, *, lang, id_col, text_col, **_):
-    kept = lang_id(docs, text_col=text_col, id_col=id_col).filter(
-        F.col("detected_lang") == lang
-    )
+    # include_text=False: the gate only consumes the decision — don't ship
+    # the text column back out of the Python worker (guide §4.1)
+    kept = lang_id(
+        docs, text_col=text_col, id_col=id_col, include_text=False
+    ).filter(F.col("detected_lang") == lang)
     return docs.join(kept.select(id_col), id_col, "left_semi")
 
 
