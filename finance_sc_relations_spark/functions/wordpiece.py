@@ -51,6 +51,11 @@ class WordPieceTokenizer:
         self._added_split = self._compile_added()
 
     def _compile_added(self) -> Optional[re.Pattern]:
+        # membership set rebuilt alongside the split pattern: tokenize()
+        # checks added-token membership per text part, and building
+        # set(self.added) inside that loop was measured in every tokenized
+        # scoring batch's hot path
+        self._added_set = set(self.added)
         if not self.added:
             return None
         return re.compile(
@@ -123,8 +128,11 @@ class WordPieceTokenizer:
             if t not in self.vocab:
                 # max+1, not len(): a file-loaded vocab may have id gaps
                 # (blank vocab.txt lines keep their line number); len()
-                # could then collide with an existing id
-                self.vocab[t] = max(self.vocab.values()) + 1
+                # could then collide with an existing id. Guard the empty
+                # vocab (blank vocab.txt): start ids at 0
+                self.vocab[t] = (
+                    max(self.vocab.values()) + 1 if self.vocab else 0
+                )
             if t not in self.added:
                 self.added.append(t)
         self._added_split = self._compile_added()
@@ -170,9 +178,14 @@ class WordPieceTokenizer:
         parts = (
             self._added_split.split(text) if self._added_split else [text]
         )
+        # getattr: instances unpickled from pre-r6 checkpoints lack the
+        # cached set; rebuild once per call for those only
+        added_set = getattr(self, "_added_set", None)
+        if added_set is None:
+            added_set = set(self.added)
         out: List[str] = []
         for part in parts:
-            if part in self.vocab and part in set(self.added):
+            if part in self.vocab and part in added_set:
                 out.append(part)
                 continue
             for w in _BASIC.findall(part.lower()):

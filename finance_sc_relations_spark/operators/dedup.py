@@ -516,12 +516,23 @@ def simhash_near_pairs(
         .select("sh_a", "sh_b", F.bit_count(xor).cast("int").alias("hamming"))
     )
     # attach members: two streaming equi-joins (no arrays, no broadcast
-    # assumption on the signature pair set)
+    # assumption on the signature pair set). The explicit repartitions are
+    # LOAD-BEARING, not tuning: when statistics let Catalyst broadcast both
+    # attach sides, whole-stage codegen fuses hashAgg->Generate->join->join
+    # into ONE stage, and BufferedRowIterator buffers EVERY row fanned out
+    # from a single outermost input row before the parent can drain — for a
+    # hot signature that is (its pairs) x |A| x |B| rows in an in-memory
+    # LinkedList (measured: 125M buffered UnsafeRows, ~10 GB, driver OOM).
+    # An exchange before each member join caps the per-input-row fan-out of
+    # every codegen stage at one cluster's membership, and pre-keys the
+    # join so the exchange is reused rather than added.
     inter = (
-        sig_pairs.join(
+        sig_pairs.repartition("sh_a")
+        .join(
             sigs.select(F.col("simhash").alias("sh_a"), F.col("id").alias("ia")),
             "sh_a",
         )
+        .repartition("sh_b")
         .join(
             sigs.select(F.col("simhash").alias("sh_b"), F.col("id").alias("ib")),
             "sh_b",

@@ -302,8 +302,12 @@ def link_surfaces_distributed(
     forms = company_dict.select(
         "entity_id",
         "canonical_name",
+        # concat, NOT array_union: the broadcast tier keeps a duplicate
+        # form row when an alias equals the canonical name, and the two
+        # tiers are contractually identical — union's dedup could emit a
+        # different candidate list/top-k consumption for such entities
         F.explode(
-            F.array_union(
+            F.concat(
                 F.array(F.col("canonical_name")),
                 F.coalesce("aliases", F.array()),
             )

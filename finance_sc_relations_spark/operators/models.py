@@ -203,9 +203,15 @@ def model_from_broadcast(bc) -> BatchModel:
         # both named "model") must both stay cached — evicting all siblings
         # on each miss would re-deserialize per alternating stage batch.
         same = [k for k in _BROADCAST_LOADED if k[1] == model_id]
-        for k in same[:-1]:  # keep the newest existing sibling
+        for k in same[:-1]:  # keep the most recently USED existing sibling
             del _BROADCAST_LOADED[k]
         _BROADCAST_LOADED[key] = model
+    else:
+        # true LRU: refresh recency on hit (dict insertion order is the
+        # eviction order above) — without this, three alternating live
+        # broadcasts sharing a model_id would thrash, re-deserializing a
+        # payload on every other stage batch
+        _BROADCAST_LOADED[key] = _BROADCAST_LOADED.pop(key)
     return model
 
 

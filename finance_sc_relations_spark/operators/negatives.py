@@ -34,8 +34,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..util import ensure_parallelism as _parallelize
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -134,11 +132,12 @@ def kg_negative_samples(
                          "corrupted"],
             )
 
-    # repartition-before-model-fleet: the positives often arrive as a
-    # handful of AQE-coalesced post-join partitions, which would serialize
-    # the per-row blake2b sampling loop onto a few cores
-    cand = _parallelize(
-        triples.select("r_id", "subj_id", "pred", "obj_id")
-    ).mapInPandas(_corrupt, schema=NEGATIVE_SCHEMA)
+    # No repartition before the sampling pass: A/B at bench sf0.1 and
+    # sf1.0 showed the extra round-robin shuffle costs more than the
+    # blake2b loop saves from wider parallelism (the cached positives
+    # already carry the upstream join's partitioning).
+    cand = triples.select("r_id", "subj_id", "pred", "obj_id").mapInPandas(
+        _corrupt, schema=NEGATIVE_SCHEMA
+    )
     true_set = triples.select("subj_id", "pred", "obj_id").distinct()
     return cand.join(true_set, ["subj_id", "pred", "obj_id"], "left_anti")

@@ -116,13 +116,16 @@ def run_pipeline(
         else dict_cols
     ).toPandas()
 
-    sentences = segment_sentences(pages, lang=cfg.lang)
     # The input often arrives as a handful of parquet files (or one); the
     # model stages need >= slot-count partitions to parallelize. On a real
     # cluster this is the repartition-before-model-fleet step
     # (reference analog: instance-fleet sizing, glue_etl.py:548-593).
+    # r6: repartition the PAGES, not the sentences — the shuffle moves the
+    # same text bytes without the per-sentence url/id duplication, and the
+    # regex-heavy clean+segment stage then runs at full slot width instead
+    # of at the input's file count.
     n_part = cfg.model_partitions or spark.sparkContext.defaultParallelism * 2
-    sentences = sentences.repartition(n_part)
+    sentences = segment_sentences(pages.repartition(n_part), lang=cfg.lang)
     # Fused NER+SC pass, spans dropped: Arrow serialization of the wide span
     # structs through back-to-back UDF stages dominated CPU (see operator
     # docstring). spans remain available via detect_mentions(include_spans=True).
@@ -210,7 +213,16 @@ def run_pipeline(
     # wanting deterministic release can unpersist the returned
     # surface_to_entity frame themselves. Bounded: one row per distinct
     # surface. The dispatch count below materializes it eagerly.
-    surface_to_entity = surface_to_entity.persist(StorageLevel.MEMORY_AND_DISK)
+    if cfg.extra.get("surface_materialize") == "checkpoint":
+        # A/B lever (r6, VERDICT #2): eager localCheckpoint truncates
+        # lineage — faster repeat access, but blocks are unrecoverable on
+        # executor loss. Not the default; exists to price the resilience
+        # trade on a pinned workload.
+        surface_to_entity = surface_to_entity.localCheckpoint(eager=True)
+    else:
+        surface_to_entity = surface_to_entity.persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     # auto-dispatch: broadcast the surface map only below the same row
     # threshold as the dictionary — at web scale the per-distinct-surface map
     # is ~10^7+ rows and must go through a plain (AQE) equi-join instead.

@@ -61,7 +61,16 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "10g"))
+        # Long single-JVM sessions (the bench runs ~35 queries x 3 reps in
+        # one app) accumulate dead broadcast relations and localCheckpoint
+        # blocks: ContextCleaner only frees them after a JVM GC collects
+        # their weak references, and the default periodic GC interval is
+        # 30min — measured filling an 8g heap to OOM before the
+        # high-peak-demand queries late in the suite. 2min keeps the
+        # cleaner fed; production clusters with per-executor heaps are
+        # unaffected (the GC is cheap when there is nothing to collect).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

@@ -25,10 +25,16 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
         n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
     except Exception:
         # private-API drift (a pyspark upgrade renaming queryExecution):
-        # assume under-parallelized and repartition. Worst case is one
-        # redundant shuffle on an already-wide input — correctness-neutral,
-        # and strictly better than silently serializing narrow stages.
-        n_parts = 0
+        # fall back to the public-API count before assuming 0 — df.rdd
+        # wraps the plan in a Python-serialization stage just to ask a
+        # partition count, but that overhead only applies on this already-
+        # exceptional path and is far cheaper than the unconditional full
+        # repartition shuffle that assuming 0 would force on every wrapped
+        # read for that pyspark version.
+        try:
+            n_parts = df.rdd.getNumPartitions()
+        except Exception:
+            n_parts = 0
     if n_parts < target:
         if keys:
             from pyspark.sql import functions as F

@@ -352,3 +352,38 @@ def test_near_dup_clusters_warns_when_cap_hit(spark):
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
         near_dup_clusters(docs, pairs=pairs, max_iterations=1).collect()
+
+
+def test_simhash_pairs_equal_bruteforce_banding_free(spark):
+    """r6 restructure evidence: the distinct-signature + first-matching-
+    block shape must emit EXACTLY the brute-force Hamming pair set (each
+    unordered pair once, id_a < id_b), including intra-cluster Hamming-0
+    pairs and pairs that agree on several blocks (the old dropDuplicates
+    path's job)."""
+    texts = []
+    for i in range(40):
+        # three near-identical families + unique tail => identical-sig
+        # clusters AND multi-block agreements
+        fam = i % 3
+        base = f"family {fam} shares almost all of its words " * 5
+        texts.append((i, base + (f"tail {i // 12}" if fam == 0 else "")))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_pairs(docs, max_hamming=3)
+        .toPandas()
+        .itertuples(index=False)
+    }
+    sigs = {
+        r.id: r.simhash
+        for r in D.simhash_signatures(docs).toPandas().itertuples(index=False)
+    }
+    expect = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            # pigeonhole banding guarantees capture only within hamming 3
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect and len(expect) > 0

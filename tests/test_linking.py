@@ -463,3 +463,59 @@ def test_sort_prefix_gates_fuzzy_candidates_both_tiers(spark):
         assert r["entity_id"] == "LEI1"
         cand_ids = {c["entity_id"] for c in r["candidates"]}
         assert "LEI2" not in cand_ids  # sort-prefix-incompatible
+
+
+def test_distributed_linking_hot_prefix_skew_spread(spark):
+    """A degree-1000 hot prefix block (the 'th'/'so' surname-prefix shape a
+    web corpus concentrates) must (a) link identically to the broadcast
+    tier and (b) actually be SPREAD across salt sub-blocks — the cogroup is
+    one task per key, so without salting the hot block would be a single
+    straggler task doing the whole block's scoring."""
+    from finance_sc_relations_spark.operators.linking import (
+        link_surfaces_distributed,
+        normalized_name_col,
+    )
+
+    cd = spark.createDataFrame(company_universe())
+    hot = [(f"Sonexa Venture {i} LLC",) for i in range(1000)]  # prefix 'so'
+    surfaces = spark.createDataFrame(hot + [("Veltrix Systems",)], "surface string")
+    salt_buckets = 4
+
+    # (b) spread evidence: the hot block's surfaces occupy ALL salt
+    # sub-blocks, so its work is divided across salt_buckets cogroup tasks
+    surf_salted = (
+        surfaces.select("surface")
+        .distinct()
+        .withColumn("prefix2", F.substring(normalized_name_col("surface"), 1, 2))
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("surface"), F.lit(salt_buckets)).cast("int"),
+        )
+    )
+    hot_counts = (
+        surf_salted.filter(F.col("prefix2") == "so")
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    assert len(hot_counts) == salt_buckets
+    sizes = sorted(r["count"] for r in hot_counts)
+    # balanced within 2x: no sub-block re-concentrates the block
+    assert sizes[-1] <= 2 * sizes[0]
+
+    # (a) identical output to the broadcast tier on the same universe
+    from finance_sc_relations_spark.operators.linking import link_surfaces
+
+    def norm(df):
+        return {
+            r["surface"]: (
+                r["entity_id"],
+                tuple(sorted((c["name"], round(c["score"], 5))
+                             for c in r["candidates"])),
+            )
+            for r in df.collect()
+        }
+
+    dist = norm(link_surfaces_distributed(surfaces, cd, salt_buckets=salt_buckets))
+    bcast = norm(link_surfaces(surfaces, cd.toPandas()))
+    assert dist == bcast and len(dist) == 1001

@@ -322,7 +322,9 @@ def test_token_cooccurrence_per_doc_cap(spark, caplog):
     assert not any("dropped" in m for m in caplog.messages)
 
     # cap of 2: docs 0/1 keep their two RAREST tokens (ra, rb; df=2 beats
-    # common's df=3) and drop 'common'; the drop is logged
+    # common's df=3) and drop 'common'. The drop count is logged only when
+    # asked for (log_dropped=True; r6 made the audit count opt-in so the
+    # ambient capped path fires no eager job at construction time)
     with caplog.at_level(logging.WARNING):
         capped = {
             (r["token_a"], r["token_b"]): r["c_ab"]
@@ -331,6 +333,15 @@ def test_token_cooccurrence_per_doc_cap(spark, caplog):
             ).collect()
         }
     assert capped == {("ra", "rb"): 2}
+    assert not any("dropped" in m for m in caplog.messages)
+    with caplog.at_level(logging.WARNING):
+        audited = {
+            (r["token_a"], r["token_b"]): r["c_ab"]
+            for r in token_cooccurrence(
+                docs, min_df=2, max_tokens_per_doc=2, log_dropped=True
+            ).collect()
+        }
+    assert audited == {("ra", "rb"): 2}
     assert any("dropped 2" in m for m in caplog.messages)
 
 
