@@ -60,9 +60,21 @@ def cc_min_label(
     Returns the relabeled `labels` frame (key, 'label'), checkpointed.
     """
     a0, b0 = edges.columns[0], edges.columns[1]
-    sym = edges.select(F.col(a0).alias("a"), F.col(b0).alias("b"))
+    # Both orientations from ONE pass over the edge frame (explode, not
+    # union-of-two-selects): `edges` is typically an UNPERSISTED pair-
+    # mining pipeline (minhash/LSH), and a union's two branches would
+    # execute that whole pipeline twice inside this checkpoint (measured
+    # 6.2s vs 3.1s for the near-dup pair graph at bench sf1.0).
     sym = (
-        sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a0).alias("a"), F.col(b0).alias("b")),
+                    F.struct(F.col(b0).alias("a"), F.col(a0).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )

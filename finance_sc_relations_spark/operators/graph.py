@@ -232,13 +232,19 @@ def _orient_edges(edges: DataFrame) -> DataFrame:
     arboricity (O(sqrt(E)) worst case), not by max degree — a hub of
     degree d receives its d edges instead of emitting them, so a star
     contributes ZERO wedges rather than O(d^2)."""
+    from pyspark import StorageLevel
+
     und = edges.select(
         F.least("subj_id", "obj_id").alias("u"),
         F.greatest("subj_id", "obj_id").alias("v"),
     ).filter(F.col("u") != F.col("v")).distinct()
+    # two consumers (degree count + the orientation join) — persist so the
+    # upstream edge-derivation subtree runs once, and count both endpoints
+    # in ONE pass (explode, not a union whose branches would each re-run
+    # the subtree)
+    und = und.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
-        und.select(F.col("u").alias("x"))
-        .unionAll(und.select(F.col("v").alias("x")))
+        und.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
         .agg(F.count("*").alias("d"))
     )
@@ -330,9 +336,19 @@ def pagerank(
     checkpoint window.
 
     Returns (entity_id, rank double). Deterministic for a given graph."""
+    from pyspark import StorageLevel
+
+    # three consumers of the (possibly expensive, unpersisted) edge
+    # subtree: the vertex set, the out-degree aggregate, and the
+    # transition build — persist once; vertices come from ONE pass
+    # (explode, not a union whose branches would each re-run the subtree)
+    edges = edges.select("subj_id", "obj_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     verts = (
-        edges.select(F.col("subj_id").alias("entity_id"))
-        .unionByName(edges.select(F.col("obj_id").alias("entity_id")))
+        edges.select(
+            F.explode(F.array("subj_id", "obj_id")).alias("entity_id")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
